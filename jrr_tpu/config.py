@@ -1,0 +1,117 @@
+"""Frozen dataclass configuration for the whole pipeline.
+
+Replaces the reference's import-time argparse globals (reference:
+scripts/args.py:3-103, parsed at import on line 100) with side-effect-free
+frozen dataclasses. Hyperparameter defaults mirror the *effective* values of
+the reference run (several reference flags are dead or ignored; the loop
+counts below are the hardcoded ones at scripts/optimize.py:190,220 rather than
+the unused --opt_steps flag).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Perspective camera conventions (reference: scripts/renderer.py:18-20,35-37)."""
+
+    focal_length: float = 5000.0
+    image_size: int = 224
+    # SMPL-frame -> camera-frame conversion applied before projection
+    # (reference: scripts/renderer.py:35-37 — x,y negated, all coords doubled).
+    flip_scale: tuple = (-2.0, -2.0, 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class SilhouetteConfig:
+    """Soft-silhouette rasterizer settings (reference: scripts/mesh_renderer.py:28-38)."""
+
+    image_size: int = 224
+    # Blend sigma in NDC^2 units, as pytorch3d BlendParams(sigma=1e-4).
+    sigma: float = 1e-4
+    # Distance band (NDC^2) outside a face within which coverage is computed.
+    # The reference uses blur_radius=0.0 (hard edges, gradients only from the
+    # inside half of each edge); a small positive band gives usable outside
+    # gradients and is the recommended deviation (documented in SURVEY §2).
+    blur_radius: float = 0.0
+    # Static per-tile face-list capacity for the binned rasterizer.
+    faces_per_tile: int = 256
+    tile_size: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    """Stage-B loss weights (reference: scripts/optimize.py:252-253)."""
+
+    j2d: float = 1.0 / 100.0
+    silhouette: float = 100.0
+    j3d: float = 10000.0
+    pose_disc: float = 10.0
+    shape_disc: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RefinerConfig:
+    """Two-stage Adam refinement schedule (reference: scripts/optimize.py:187-265)."""
+
+    stage_a_steps: int = 1000  # camera-only 2D alignment (optimize.py:190)
+    stage_b_steps: int = 100  # full (θ, β, cam) refinement (optimize.py:220)
+    stage_a_lr: float = 1e-2  # optimize.py:188
+    stage_b_lr: float = 1e-2  # optimize.py:202
+    loss_weights: LossWeights = dataclasses.field(default_factory=LossWeights)
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    silhouette: SilhouetteConfig = dataclasses.field(default_factory=SilhouetteConfig)
+    # Whether stage B includes the silhouette term (config[1] of BASELINE.json
+    # omits it; config[3] includes it).
+    use_silhouette: bool = True
+    use_discriminators: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Adversarial prior training (reference: scripts/optimize.py:276-293, scripts/args.py:13)."""
+
+    lr: float = 1e-3  # --opt_disc_learning_rate default
+
+
+@dataclasses.dataclass(frozen=True)
+class JRegConfig:
+    """Joint-regressor training (reference: scripts/optimize.py:300-312, scripts/args.py:15)."""
+
+    lr: float = 1e-2  # --j_reg_lr default
+    # Ridge regularizer for the least-squares fit path (TPU-idiomatic
+    # alternative to per-batch SGD; no reference equivalent).
+    lstsq_ridge: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline (reference: scripts/data.py:28-163)."""
+
+    root: str = "data/human3.6m"
+    batch_size: int = 256  # --batch_size default (scripts/args.py:8)
+    shuffle_seed: int = 0
+    prefetch: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / sharding settings (no reference equivalent — the
+    reference is single-GPU; see SURVEY §2c)."""
+
+    data_axis: str = "data"
+    num_devices: Optional[int] = None  # None = all local devices
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    refiner: RefinerConfig = dataclasses.field(default_factory=RefinerConfig)
+    discriminator: DiscriminatorConfig = dataclasses.field(default_factory=DiscriminatorConfig)
+    jreg: JRegConfig = dataclasses.field(default_factory=JRegConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    seed: int = 0
+    num_betas: int = 10

@@ -1,0 +1,355 @@
+"""TPU-native SMPL body model.
+
+Re-implements the capability of the reference's `smplx.SMPL` + SPIN wrapper
+(reference: scripts/smpl.py:61-90 and the external smplx LBS it calls — see
+SURVEY §2b/§3.2) as a single fused, jit/vmap-able XLA program:
+
+    v_shaped = T + S·β                      (shape blendshapes, MXU einsum)
+    J_rest   = J_reg_smpl · v_shaped        (rest joints, MXU matmul)
+    v_posed  = v_shaped + P·vec(R − I)      (pose blendshapes, MXU einsum)
+    G_k      = FK over the 24-joint tree    (unrolled static chain of 3×3 ops)
+    verts    = LBS(W, A, v_posed)           ((V,24)@(24,16) MXU matmul + affine)
+
+Everything is static-shaped and batch-first; under `jax.jit` the whole forward
+fuses into a handful of MXU matmuls plus VPU elementwise work. No sparse ops:
+the regressor matmuls are tiny-by-MXU-standards dense matmuls (SURVEY §2b).
+
+The model data container is a pytree so it can be donated/sharded/replicated
+with `jax.sharding` like any other array bundle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+import pickle
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jrr_tpu import constants
+from jrr_tpu.ops import rotations
+
+# The SMPL kinematic tree (public model topology; parent of joint k).
+SMPL_PARENTS: Tuple[int, ...] = (
+    -1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19, 20, 21
+)
+
+# Extra keypoint vertices appended by smplx's VertexJointSelector (public smplx
+# model facts; order = 5 face, 6 feet, 10 finger tips → smplx joints 24..44).
+EXTRA_JOINT_VERTEX_IDS: Tuple[int, ...] = (
+    332, 6260, 2800, 4071, 583,            # nose, right eye, left eye, right ear, left ear
+    3216, 3226, 3387, 6617, 6624, 6787,    # L big toe, L small toe, L heel, R big toe, R small toe, R heel
+    2746, 2319, 2445, 2556, 2673,          # left thumb/index/middle/ring/pinky tips
+    6191, 5782, 5905, 6016, 6133,          # right thumb/index/middle/ring/pinky tips
+)
+
+# SPIN's 49-joint gather over [45 smplx joints ++ 9 extra-regressor joints]
+# (reference: scripts/smpl.py:12-49 JOINT_MAP/JOINT_NAMES order).
+SPIN_49_JOINT_MAP: Tuple[int, ...] = (
+    24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7, 25, 26, 27, 28, 29, 30,
+    31, 32, 33, 34, 8, 5, 45, 46, 4, 7, 21, 19, 17, 16, 18, 20, 47, 48, 49, 50,
+    51, 52, 53, 24, 26, 25, 28, 27,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SMPLModel:
+    """SMPL model arrays as a pytree (static topology kept in metadata fields)."""
+
+    v_template: jax.Array  # (V, 3)
+    shapedirs: jax.Array  # (V, 3, n_betas)
+    posedirs: jax.Array  # (9*(J-1), V*3)
+    j_regressor: jax.Array  # (J, V) — SMPL's own 24-joint regressor
+    lbs_weights: jax.Array  # (V, J)
+    faces: jax.Array  # (F, 3) int32
+    # Optional extra regressor for the 9 additional SPIN joints
+    # (reference: scripts/smpl.py:67-69, data/vibe_data/J_regressor_extra.npy).
+    j_regressor_extra: Optional[jax.Array]  # (9, V) or None
+    parents: Tuple[int, ...] = dataclasses.field(
+        default=SMPL_PARENTS, metadata=dict(static=True)
+    )
+
+    @property
+    def num_verts(self) -> int:
+        return self.v_template.shape[0]
+
+    @property
+    def num_joints(self) -> int:
+        return self.j_regressor.shape[0]
+
+    @property
+    def num_betas(self) -> int:
+        return self.shapedirs.shape[-1]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SMPLOutput:
+    vertices: jax.Array  # (B, V, 3)
+    joints: jax.Array  # (B, J, 3) posed kinematic joints
+    v_shaped: jax.Array  # (B, V, 3)
+
+
+def _fk(
+    rotmats: jax.Array, j_rest: jax.Array, parents: Tuple[int, ...]
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward kinematics over the (static) kinematic tree.
+
+    rotmats: (B, J, 3, 3) local joint rotations (index 0 = global orient).
+    j_rest:  (B, J, 3) rest-pose joint locations.
+    Returns (R_global (B, J, 3, 3), t_global (B, J, 3)).
+
+    The chain is unrolled at trace time (J=24 is static and tiny); each link is
+    a batched 3×3 matmul + affine, which XLA fuses. This avoids both 4×4
+    homogeneous padding and `lax.scan` gather overhead.
+    """
+    num_joints = len(parents)
+    rel_t = j_rest - jnp.concatenate(
+        [j_rest[:, :1], j_rest[:, [parents[k] for k in range(1, num_joints)]]], axis=1
+    )
+    rs = [rotmats[:, 0]]
+    ts = [j_rest[:, 0]]
+    for k in range(1, num_joints):
+        p = parents[k]
+        rs.append(jnp.einsum("bij,bjk->bik", rs[p], rotmats[:, k]))
+        ts.append(jnp.einsum("bij,bj->bi", rs[p], rel_t[:, k]) + ts[p])
+    return jnp.stack(rs, axis=1), jnp.stack(ts, axis=1)
+
+
+def smpl_forward(
+    model: SMPLModel,
+    betas: jax.Array,
+    global_orient: jax.Array,
+    body_pose: jax.Array,
+    pose2rot: bool = False,
+) -> SMPLOutput:
+    """SMPL forward pass.
+
+    betas: (B, n_betas).
+    global_orient / body_pose: rotation matrices (B, 1, 3, 3) / (B, J-1, 3, 3)
+    when `pose2rot=False` (the path used throughout the reference hot loop,
+    reference: scripts/utils.py:94-95), or axis-angle (B, 3) / (B, (J-1)*3)
+    when `pose2rot=True`.
+    """
+    if pose2rot:
+        b = betas.shape[0]
+        global_orient = rotations.axis_angle_to_rotmat(global_orient.reshape(b, 1, 3))
+        body_pose = rotations.axis_angle_to_rotmat(body_pose.reshape(b, -1, 3))
+
+    b = betas.shape[0]
+    rotmats = jnp.concatenate([global_orient, body_pose], axis=1)  # (B, J, 3, 3)
+
+    v_shaped = model.v_template[None] + jnp.einsum(
+        "bs,vcs->bvc", betas, model.shapedirs
+    )
+    j_rest = jnp.einsum("jv,bvc->bjc", model.j_regressor, v_shaped)
+
+    ident = jnp.eye(3, dtype=rotmats.dtype)
+    pose_feature = (rotmats[:, 1:] - ident).reshape(b, -1)  # (B, 9*(J-1))
+    v_posed = v_shaped + jnp.einsum(
+        "bp,pn->bn", pose_feature, model.posedirs
+    ).reshape(b, model.num_verts, 3)
+
+    r_glob, t_glob = _fk(rotmats, j_rest, model.parents)
+
+    # Skinning transforms with rest-pose correction:
+    #   A_k = [R_k | t_k − R_k · j_rest_k]
+    a_rot = r_glob  # (B, J, 3, 3)
+    a_t = t_glob - jnp.einsum("bjik,bjk->bji", r_glob, j_rest)  # (B, J, 3)
+
+    # Blend per-vertex: (V, J) @ (B, J, 12) — one MXU matmul for the whole skin.
+    a_flat = jnp.concatenate(
+        [a_rot.reshape(b, model.num_joints, 9), a_t], axis=-1
+    )  # (B, J, 12)
+    t_vert = jnp.einsum("vj,bjd->bvd", model.lbs_weights, a_flat)  # (B, V, 12)
+    rot_v = t_vert[..., :9].reshape(b, model.num_verts, 3, 3)
+    trans_v = t_vert[..., 9:]
+    verts = jnp.einsum("bvik,bvk->bvi", rot_v, v_posed) + trans_v
+
+    return SMPLOutput(vertices=verts, joints=t_glob, v_shaped=v_shaped)
+
+
+def smpl_joints49(
+    model: SMPLModel, output: SMPLOutput, joint_map: Tuple[int, ...] = SPIN_49_JOINT_MAP
+) -> jax.Array:
+    """SPIN-convention 49-joint output (reference: scripts/smpl.py:72-85).
+
+    joints = gather([FK24 ++ 21 selected vertices ++ 9 extra-regressor joints]).
+    Requires `model.j_regressor_extra`.
+    """
+    if model.j_regressor_extra is None:
+        raise ValueError("model has no j_regressor_extra; load it to use 49-joint output")
+    vertex_joints = output.vertices[:, jnp.asarray(EXTRA_JOINT_VERTEX_IDS)]
+    extra = jnp.einsum("jv,bvc->bjc", model.j_regressor_extra, output.vertices)
+    all_joints = jnp.concatenate([output.joints, vertex_joints, extra], axis=1)
+    return all_joints[:, jnp.asarray(joint_map)]
+
+
+# ---------------------------------------------------------------------------
+# Model loading / conversion
+# ---------------------------------------------------------------------------
+
+
+class _ChumpyUnpickler(pickle.Unpickler):
+    """Unpickles legacy SMPL .pkl files without chumpy installed.
+
+    The official SMPL pickle stores chumpy arrays; we substitute a minimal
+    stand-in whose __setstate__ captures the underlying ndarray.
+    """
+
+    class _Ch:
+        def __setstate__(self, state):
+            self.data = np.asarray(state.get("x")) if isinstance(state, dict) else None
+
+    def find_class(self, module, name):
+        if module.startswith("chumpy"):
+            return _ChumpyUnpickler._Ch
+        if module == "scipy.sparse.csc" or (
+            module.startswith("scipy.sparse") and name == "csc_matrix"
+        ):
+            import scipy.sparse
+
+            return scipy.sparse.csc_matrix
+        return super().find_class(module, name)
+
+
+def _to_dense(x) -> np.ndarray:
+    if hasattr(x, "todense"):
+        return np.asarray(x.todense())
+    if hasattr(x, "data") and not isinstance(x, np.ndarray):
+        return np.asarray(x.data)
+    return np.asarray(x)
+
+
+def convert_smpl_pickle(pkl_path: str, npz_path: str) -> None:
+    """One-time converter: official SMPL .pkl (chumpy) → plain .npz.
+
+    (SURVEY §2b last row: the only thing needed from the chumpy stack.)
+    """
+    with open(pkl_path, "rb") as f:
+        data = _ChumpyUnpickler(f, encoding="latin1").load()
+    np.savez(
+        npz_path,
+        v_template=_to_dense(data["v_template"]).astype(np.float32),
+        shapedirs=_to_dense(data["shapedirs"]).astype(np.float32),
+        posedirs=_to_dense(data["posedirs"]).astype(np.float32),
+        j_regressor=_to_dense(data["J_regressor"]).astype(np.float32),
+        lbs_weights=_to_dense(data["weights"]).astype(np.float32),
+        faces=_to_dense(data["f"]).astype(np.int32),
+        kintree_parents=np.asarray(data["kintree_table"])[0].astype(np.int64),
+    )
+
+
+def load_smpl_npz(
+    npz_path: str,
+    num_betas: int = constants.NUM_BETAS,
+    j_regressor_extra_path: Optional[str] = None,
+    dtype=jnp.float32,
+) -> SMPLModel:
+    """Load a converted SMPL model (.npz from `convert_smpl_pickle`)."""
+    data = np.load(npz_path)
+    posedirs = data["posedirs"]
+    if posedirs.ndim == 3:  # (V, 3, 207) → (207, V*3), smplx storage order
+        posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T
+    parents = data["kintree_parents"].astype(np.int64)
+    parents[0] = -1
+    extra = None
+    if j_regressor_extra_path is not None:
+        extra = jnp.asarray(np.load(j_regressor_extra_path), dtype=dtype)
+    return SMPLModel(
+        v_template=jnp.asarray(data["v_template"], dtype=dtype),
+        shapedirs=jnp.asarray(data["shapedirs"][..., :num_betas], dtype=dtype),
+        posedirs=jnp.asarray(posedirs, dtype=dtype),
+        j_regressor=jnp.asarray(data["j_regressor"], dtype=dtype),
+        lbs_weights=jnp.asarray(data["lbs_weights"], dtype=dtype),
+        faces=jnp.asarray(data["faces"], dtype=jnp.int32),
+        j_regressor_extra=extra,
+        parents=tuple(int(p) for p in parents),
+    )
+
+
+def synthetic_smpl_model(
+    seed: int = 0,
+    num_verts: int = constants.NUM_SMPL_VERTS,
+    num_joints: int = constants.NUM_SMPL_JOINTS,
+    num_betas: int = constants.NUM_BETAS,
+    num_faces: Optional[int] = None,
+    dtype=jnp.float32,
+) -> SMPLModel:
+    """A structurally-consistent synthetic SMPL-like model.
+
+    The real SMPL arrays are license-gated and not shipped; tests, fixtures and
+    benches use this generator (full-size by default, so benchmarks measure the
+    true FLOP/byte profile). Geometry: joints are placed on a scaled copy of
+    the real kinematic tree's rough proportions; vertices cluster around their
+    dominant joint so LBS produces plausible articulated deformation.
+    """
+    rng = np.random.default_rng(seed)
+    if num_joints == constants.NUM_SMPL_JOINTS:
+        parents = SMPL_PARENTS
+    else:
+        parents = (-1,) + tuple(rng.integers(0, k, dtype=np.int64).item() for k in range(1, num_joints))
+    if num_faces is None:
+        num_faces = 2 * num_verts - 4 if num_verts < 200 else constants.NUM_SMPL_FACES
+        num_faces = min(num_faces, max(4, 2 * num_verts))
+
+    # Rest joints: random short offsets down the tree (roughly body-scaled, m).
+    j_rest = np.zeros((num_joints, 3), dtype=np.float32)
+    for k in range(1, num_joints):
+        j_rest[k] = j_rest[parents[k]] + rng.normal(scale=0.12, size=3)
+
+    # Vertices around joints.
+    vert_joint = rng.integers(0, num_joints, size=num_verts)
+    v_template = (j_rest[vert_joint] + rng.normal(scale=0.06, size=(num_verts, 3))).astype(
+        np.float32
+    )
+
+    # LBS weights: dominant joint + small spillover to its parent, rows sum 1.
+    w = np.zeros((num_verts, num_joints), dtype=np.float32)
+    w[np.arange(num_verts), vert_joint] = 0.8
+    parent_of = np.asarray([p if p >= 0 else 0 for p in parents])
+    w[np.arange(num_verts), parent_of[vert_joint]] += 0.2
+    w /= w.sum(axis=1, keepdims=True)
+
+    # j_regressor consistent with the rest joints: sparse nonneg rows that
+    # average nearby vertices (so J_reg · v_template ≈ j_rest).
+    jr = np.zeros((num_joints, num_verts), dtype=np.float32)
+    for k in range(num_joints):
+        d = np.linalg.norm(v_template - j_rest[k], axis=1)
+        idx = np.argsort(d)[:8]
+        jr[k, idx] = 1.0 / len(idx)
+
+    shapedirs = rng.normal(scale=0.01, size=(num_verts, 3, num_betas)).astype(np.float32)
+    posedirs = rng.normal(scale=1e-3, size=(9 * (num_joints - 1), num_verts * 3)).astype(
+        np.float32
+    )
+    faces = rng.integers(0, num_verts, size=(num_faces, 3)).astype(np.int32)
+    extra = None
+    if num_verts == constants.NUM_SMPL_VERTS:
+        extra_np = np.zeros((9, num_verts), dtype=np.float32)
+        extra_np[np.arange(9), rng.integers(0, num_verts, size=9)] = 1.0
+        extra = jnp.asarray(extra_np, dtype=dtype)
+
+    return SMPLModel(
+        v_template=jnp.asarray(v_template, dtype=dtype),
+        shapedirs=jnp.asarray(shapedirs, dtype=dtype),
+        posedirs=jnp.asarray(posedirs, dtype=dtype),
+        j_regressor=jnp.asarray(jr, dtype=dtype),
+        lbs_weights=jnp.asarray(w, dtype=dtype),
+        faces=jnp.asarray(faces, dtype=jnp.int32),
+        j_regressor_extra=extra,
+        parents=parents,
+    )
+
+
+def resolve_smpl_model(config_root: str = "data", **kwargs) -> SMPLModel:
+    """Load the real converted model if present, else the synthetic stand-in."""
+    npz = os.path.join(config_root, "body_model", "smpl_neutral.npz")
+    if os.path.exists(npz):
+        return load_smpl_npz(npz, **kwargs)
+    return synthetic_smpl_model()
