@@ -1,0 +1,203 @@
+"""Differentiable soft-silhouette rasterizer, TPU-first.
+
+Replaces the reference's pytorch3d `MeshRasterizer` + `SoftSilhouetteShader`
+(reference: scripts/mesh_renderer.py:23-79; C++/CUDA kernels) with a
+tile-binned, static-shape XLA program:
+
+1. project vertices to screen space (render/camera.py conventions);
+2. compute per-face screen bounding boxes;
+3. bin: for every image tile (T×T pixels), select up to K candidate faces
+   whose padded bbox intersects the tile (`lax.top_k` over a {0,1} hit mask —
+   static shapes, no dynamic face lists);
+4. per tile, evaluate soft coverage of its T² pixels against its K faces:
+   signed squared distance to the triangle (negative inside), SoftRas/pytorch3d
+   blending `p = sigmoid(−d²_ndc / σ)`;
+5. alpha = 1 − Π(1 − p) — the silhouette is a *union* of face coverages, so no
+   depth sort / z-buffer is needed at all (occlusion cannot change a union);
+   the scan over tiles × vmap over frames keeps peak memory at one tile-batch.
+
+With σ=1e-4 and blur_radius=0 this reproduces the reference's near-hard
+silhouette (pytorch3d BlendParams σ=γ=1e-4, blur 0, 1 face/px —
+scripts/mesh_renderer.py:28-38): interior pixels saturate to 1, gradients live
+in a ~1px band inside each edge. A positive `blur_radius` (NDC², like
+pytorch3d's) widens the band to the outside — the recommended setting when
+actually optimizing through the renderer.
+
+Differentiable w.r.t. vertices (bin assignment is a non-differentiable
+selection, as in every rasterizer; coverage is computed from gathered float
+coordinates). The fallback `render_silhouette_dense` evaluates all faces for
+every pixel and is used as the oracle in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from jrr_tpu import constants
+from jrr_tpu.render import camera as camera_lib
+
+
+class RasterizerSpec(NamedTuple):
+    image_size: int = constants.CROP_RES
+    sigma: float = 1e-4  # NDC^2 blend sigma (scripts/mesh_renderer.py:28)
+    blur_radius: float = 0.0  # NDC^2 outside band (scripts/mesh_renderer.py:36)
+    tile_size: int = 8
+    faces_per_tile: int = 96
+    focal_length: float = constants.FOCAL_LENGTH
+
+
+def _signed_dist2_px(px: jax.Array, tri: jax.Array) -> jax.Array:
+    """Signed squared distance (pixel² units) from points to triangles.
+
+    px:  (..., P, 2) pixel centers.
+    tri: (..., K, 3, 2) triangle screen vertices.
+    Returns (..., P, K): negative inside the triangle, positive outside.
+    """
+    v0 = tri[..., 0, :]
+    v1 = tri[..., 1, :]
+    v2 = tri[..., 2, :]
+
+    def edge_terms(a, b):
+        # a, b: (..., K, 2); px: (..., P, 2)
+        ab = b - a  # (..., K, 2)
+        ap = px[..., :, None, :] - a[..., None, :, :]  # (..., P, K, 2)
+        # 2D cross product (edge function).
+        cross = ab[..., None, :, 0] * ap[..., 1] - ab[..., None, :, 1] * ap[..., 0]
+        # Point-segment squared distance.
+        len2 = jnp.sum(ab * ab, axis=-1)  # (..., K)
+        t = jnp.sum(ap * ab[..., None, :, :], axis=-1) / jnp.maximum(
+            len2[..., None, :], 1e-12
+        )
+        t = jnp.clip(t, 0.0, 1.0)
+        proj = a[..., None, :, :] + t[..., None] * ab[..., None, :, :]
+        d2 = jnp.sum((px[..., :, None, :] - proj) ** 2, axis=-1)
+        return cross, d2
+
+    c0, d0 = edge_terms(v0, v1)
+    c1, d1 = edge_terms(v1, v2)
+    c2, d2 = edge_terms(v2, v0)
+
+    d2min = jnp.minimum(jnp.minimum(d0, d1), d2)
+    inside = ((c0 >= 0) & (c1 >= 0) & (c2 >= 0)) | ((c0 <= 0) & (c1 <= 0) & (c2 <= 0))
+    return jnp.where(inside, -d2min, d2min)
+
+
+def _coverage(signed_d2_px: jax.Array, spec: RasterizerSpec, valid: jax.Array) -> jax.Array:
+    """SoftRas/pytorch3d coverage probability per (pixel, face)."""
+    # pytorch3d distances are in NDC units: the image spans 2 NDC across
+    # image_size pixels.
+    px_to_ndc2 = (2.0 / spec.image_size) ** 2
+    d2_ndc = signed_d2_px * px_to_ndc2
+    p = jax.nn.sigmoid(-d2_ndc / spec.sigma)
+    # Replicate hard rasterization extent: outside pixels contribute only
+    # within the blur band (blur 0 → inside only; scripts/mesh_renderer.py:36).
+    in_band = d2_ndc <= spec.blur_radius
+    return jnp.where(in_band & valid, p, 0.0)
+
+
+def _alpha_from_coverage(p: jax.Array) -> jax.Array:
+    """Union alpha over the face axis (last): 1 − Π(1 − p)."""
+    return 1.0 - jnp.prod(1.0 - p, axis=-1)
+
+
+def _face_screen_verts(verts_screen: jax.Array, faces: jax.Array):
+    fv = verts_screen[faces]  # (F, 3, 3)
+    xy = fv[..., :2]
+    z = fv[..., 2]
+    valid = jnp.all(z > 1e-6, axis=-1)  # cull faces behind the camera
+    return xy, valid
+
+
+def render_silhouette_dense(
+    verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec
+) -> jax.Array:
+    """Oracle path: every pixel vs every face. O(S²·F) — tests/tiny meshes only."""
+    s = spec.image_size
+    xy, valid = _face_screen_verts(verts_screen, faces)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
+    px = jnp.stack([cols, rows], axis=-1).reshape(-1, 2)  # (S², 2) as (x, y)
+    sd2 = _signed_dist2_px(px, xy)  # (S², F)
+    p = _coverage(sd2, spec, valid[None, :])
+    return _alpha_from_coverage(p).reshape(s, s)
+
+
+def render_silhouette(
+    verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec
+) -> jax.Array:
+    """Tile-binned rasterization of one frame. verts_screen: (V, 3) (x, y, z_view)."""
+    s, t, k = spec.image_size, spec.tile_size, spec.faces_per_tile
+    assert s % t == 0, "image_size must be divisible by tile_size"
+    g = s // t
+
+    xy, valid = _face_screen_verts(verts_screen, faces)  # (F, 3, 2), (F,)
+
+    # Face bboxes in pixels, padded by the blur band + half-pixel.
+    pad = 0.5 + spec.image_size / 2.0 * jnp.sqrt(jnp.maximum(spec.blur_radius, 0.0))
+    fmin = jnp.min(xy, axis=1) - pad  # (F, 2) (x, y)
+    fmax = jnp.max(xy, axis=1) + pad
+
+    # Tile index ranges per face.
+    tmin = jnp.floor(fmin / t).astype(jnp.int32)
+    tmax = jnp.floor(fmax / t).astype(jnp.int32)
+
+    # Hit mask: (G*G, F).
+    tile_y = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0).reshape(-1, 1)
+    tile_x = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1).reshape(-1, 1)
+    hit = (
+        valid[None, :]
+        & (tile_x >= tmin[None, :, 0]) & (tile_x <= tmax[None, :, 0])
+        & (tile_y >= tmin[None, :, 1]) & (tile_y <= tmax[None, :, 1])
+    )
+
+    # Static top-K bin per tile. Ties break to the lowest face index.
+    scores = hit.astype(jnp.float32)
+    _, face_idx = jax.lax.top_k(scores, k)  # (G², K)
+    sel_valid = jnp.take_along_axis(hit, face_idx, axis=1)  # (G², K)
+    sel_xy = xy[face_idx]  # (G², K, 3, 2)
+
+    # Pixel centers per tile: (T², 2) offsets.
+    off_r = jax.lax.broadcasted_iota(jnp.float32, (t, t), 0)
+    off_c = jax.lax.broadcasted_iota(jnp.float32, (t, t), 1)
+    tile_offsets = jnp.stack([off_c, off_r], axis=-1).reshape(-1, 2)  # (x, y)
+
+    origin = jnp.stack([tile_x[:, 0], tile_y[:, 0]], axis=-1).astype(jnp.float32) * t
+
+    def tile_alpha(args):
+        orig, tri, tri_valid = args  # (2,), (K, 3, 2), (K,)
+        px = orig[None, :] + tile_offsets  # (T², 2)
+        sd2 = _signed_dist2_px(px, tri)  # (T², K)
+        p = _coverage(sd2, spec, tri_valid[None, :])
+        return _alpha_from_coverage(p)  # (T²,)
+
+    # Sequential over tiles (keeps peak memory to one tile); batch-parallelism
+    # comes from vmapping this whole function over frames.
+    alphas = jax.lax.map(
+        tile_alpha, (origin, sel_xy, sel_valid), batch_size=max(1, g)
+    )  # (G², T²)
+
+    img = alphas.reshape(g, g, t, t).transpose(0, 2, 1, 3).reshape(s, s)
+    return img
+
+
+def render_mesh_silhouette(
+    vertices_smpl: jax.Array,
+    faces: jax.Array,
+    cam_t: jax.Array,
+    spec: RasterizerSpec = RasterizerSpec(),
+    dense: bool = False,
+) -> jax.Array:
+    """Batched end-to-end: SMPL-frame vertices (B, V, 3) + cam (B, 3) → (B, S, S).
+
+    Matches the reference `render_mesh` chain (reference: scripts/optimize.py:77-85):
+    flip/scale vertices, perspective camera at T, soft-silhouette alpha.
+    """
+    verts_screen = camera_lib.project_points_screen(
+        vertices_smpl, cam_t, spec.image_size, spec.focal_length
+    )
+    fn = render_silhouette_dense if dense else render_silhouette
+    return jax.vmap(functools.partial(fn, faces=faces, spec=spec))(verts_screen)
