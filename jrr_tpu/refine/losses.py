@@ -1,0 +1,166 @@
+"""Loss terms for the two-stage refinement.
+
+Mirrors the reference's stage-B objective (reference: scripts/optimize.py:220-253)
+with one deliberate efficiency improvement: the reference runs three separate
+SMPL forwards per step (find_joints, return_2d_joints, render_mesh —
+optimize.py:228-235); here one forward produces vertices that feed all three
+terms. Semantics are identical (same function of the same parameters).
+
+Loss scalarization: the reference takes MSE means over the whole batch
+(nn.MSELoss default). We take per-frame means and average over frames — with
+per-frame Adam states this yields the same trajectories (Adam's per-parameter
+normalization cancels uniform gradient scaling), and it makes frames fully
+independent, which is what lets the engine vmap/shard them freely.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from jrr_tpu.config import RefinerConfig
+from jrr_tpu.models import discriminator as disc_lib
+from jrr_tpu.models import smpl as smpl_lib
+from jrr_tpu.ops import jreg as jreg_lib
+from jrr_tpu.ops import rotations
+from jrr_tpu.render import camera as camera_lib
+from jrr_tpu.render import silhouette as sil_lib
+
+
+class FrameBatch(NamedTuple):
+    """Per-frame supervision (all arrays batch-first)."""
+
+    gt_j2d: jax.Array  # (B, 17, 2) crop-space pixel coords
+    gt_j3d: jax.Array  # (B, 17, 3) millimeters (mocap)
+    mask: Optional[jax.Array] = None  # (B, S, S) silhouette in [0, 1]
+
+
+class FrameParams(NamedTuple):
+    """The optimized per-frame state (reference: scripts/optimize.py:177-185)."""
+
+    pose6d: jax.Array  # (B, 23, 6)
+    orient6d: jax.Array  # (B, 1, 6)
+    betas: jax.Array  # (B, 10)
+    cam_t: jax.Array  # (B, 3)
+
+
+class LossTerms(NamedTuple):
+    total: jax.Array
+    j2d: jax.Array
+    j3d: jax.Array
+    silhouette: jax.Array
+    pose_disc: jax.Array
+    shape_disc: jax.Array
+
+
+def forward_frame(model: smpl_lib.SMPLModel, params: FrameParams):
+    """Rotations + one SMPL forward shared by every loss term."""
+    orient = rotations.rot6d_to_rotmat(params.orient6d)  # (B, 1, 3, 3)
+    pose = rotations.rot6d_to_rotmat(params.pose6d)  # (B, 23, 3, 3)
+    out = smpl_lib.smpl_forward(model, params.betas, orient, pose)
+    return out
+
+
+def joints_from_verts(j_reg_norm: jax.Array, vertices: jax.Array) -> jax.Array:
+    return jreg_lib.apply_jreg(j_reg_norm, vertices)
+
+
+def reproject_joints(joints3d: jax.Array, cam_t: jax.Array, cfg: RefinerConfig) -> jax.Array:
+    """(B, J, 3) SMPL-frame joints → (B, J, 2) screen coords."""
+    screen = camera_lib.project_points_screen(
+        joints3d, cam_t, cfg.camera.image_size, cfg.camera.focal_length
+    )
+    return screen[..., :2]
+
+
+def j2d_loss(pred_2d: jax.Array, gt_j2d: jax.Array) -> jax.Array:
+    return jnp.mean((pred_2d - gt_j2d) ** 2, axis=(-1, -2))  # (B,)
+
+
+def j3d_loss(pred_joints_m: jax.Array, gt_j3d_mm: jax.Array) -> jax.Array:
+    """Pelvis-centered MSE vs GT in meters (reference: scripts/optimize.py:238-239).
+
+    The reference centers gt once per batch (optimize.py:162) and centers
+    predictions inside the loss; we center both here.
+    """
+    pred = jreg_lib.move_pelvis(pred_joints_m)
+    gt = jreg_lib.move_pelvis(gt_j3d_mm) / 1000.0
+    return jnp.mean((pred - gt) ** 2, axis=(-1, -2))  # (B,)
+
+
+def silhouette_loss(
+    vertices: jax.Array, faces: jax.Array, cam_t: jax.Array, mask: jax.Array,
+    cfg: RefinerConfig,
+) -> jax.Array:
+    spec = sil_lib.RasterizerSpec(
+        image_size=cfg.silhouette.image_size,
+        sigma=cfg.silhouette.sigma,
+        blur_radius=cfg.silhouette.blur_radius,
+        tile_size=cfg.silhouette.tile_size,
+        faces_per_tile=cfg.silhouette.faces_per_tile,
+        focal_length=cfg.camera.focal_length,
+    )
+    render = sil_lib.render_mesh_silhouette(vertices, faces, cam_t, spec)
+    return jnp.mean((render - mask) ** 2, axis=(-1, -2))  # (B,)
+
+
+def stage_b_loss(
+    model: smpl_lib.SMPLModel,
+    j_reg_norm: jax.Array,
+    pose_disc_params,
+    shape_disc_params,
+    params: FrameParams,
+    data: FrameBatch,
+    cfg: RefinerConfig,
+):
+    """Full objective (reference: scripts/optimize.py:252-253). Returns (scalar, LossTerms)."""
+    out = forward_frame(model, params)
+    joints = joints_from_verts(j_reg_norm, out.vertices)
+
+    l_j2d = j2d_loss(reproject_joints(joints, params.cam_t, cfg), data.gt_j2d)
+    l_j3d = j3d_loss(joints, data.gt_j3d)
+
+    if cfg.use_silhouette and data.mask is not None:
+        l_sil = silhouette_loss(out.vertices, model.faces, params.cam_t, data.mask, cfg)
+    else:
+        l_sil = jnp.zeros_like(l_j3d)
+
+    if cfg.use_discriminators and pose_disc_params is not None:
+        rot6d_full = jnp.concatenate([params.orient6d, params.pose6d], axis=1)
+        d_pose = disc_lib.pose_discriminator(pose_disc_params, rot6d_full)
+        d_shape = disc_lib.shape_discriminator(shape_disc_params, params.betas)
+        l_pd = jnp.mean((d_pose - 1.0) ** 2, axis=(-1, -2))
+        l_sd = jnp.mean((d_shape - 1.0) ** 2, axis=-1)
+    else:
+        l_pd = jnp.zeros_like(l_j3d)
+        l_sd = jnp.zeros_like(l_j3d)
+
+    w = cfg.loss_weights
+    per_frame = (
+        l_j2d * w.j2d + l_sil * w.silhouette + l_j3d * w.j3d
+        + l_pd * w.pose_disc + l_sd * w.shape_disc
+    )
+    terms = LossTerms(
+        total=jnp.mean(per_frame),
+        j2d=jnp.mean(l_j2d),
+        j3d=jnp.mean(l_j3d),
+        silhouette=jnp.mean(l_sil),
+        pose_disc=jnp.mean(l_pd),
+        shape_disc=jnp.mean(l_sd),
+    )
+    return terms.total, terms
+
+
+def stage_a_loss(
+    model: smpl_lib.SMPLModel,
+    j_reg_norm: jax.Array,
+    params: FrameParams,
+    data: FrameBatch,
+    cfg: RefinerConfig,
+) -> jax.Array:
+    """Camera-only 2D alignment objective (reference: scripts/optimize.py:190-199)."""
+    out = forward_frame(model, params)
+    joints = joints_from_verts(j_reg_norm, out.vertices)
+    return jnp.mean(j2d_loss(reproject_joints(joints, params.cam_t, cfg), data.gt_j2d))
