@@ -1,0 +1,271 @@
+"""Outer training loop: refinement + discriminator updates + J-regressor training.
+
+Reproduces the per-batch outer iteration of the reference
+(reference: scripts/optimize.py:148-337):
+
+1. refine the batch (stage A + stage B) from its SPIN initialization;
+2. LSGAN discriminator updates treating SPIN predictions as "real" and the
+   refined parameters as "fake" (reference: scripts/optimize.py:276-293);
+3. one Adam step on the raw joint regressor against the pelvis-centered GT 3D
+   joints, through mask→ReLU→row-norm, with the refined pose *detached*
+   (reference: scripts/optimize.py:300-312 — which is a silent no-op there
+   because requires_grad was never set; here it is the intended, working
+   update, per SURVEY §2a "Known behavioral quirks");
+4. MPJPE/PA-MPJPE evaluation before and after the regressor step (the
+   reference's `mpjpe_new_opt`/`mpjpe_old_opt` naming is swapped relative to
+   the order of computation — optimize.py:314-321; we use unambiguous names).
+
+Also provides the TPU-idiomatic alternative to per-batch SGD on the regressor:
+a closed-form ridge least-squares fit from accumulated Gram statistics
+(`JRegLstsqAccumulator`) — the normal-equation matrices are psum-reducible
+across shards/hosts, and one (V×V) Cholesky solve on the MXU replaces
+thousands of gradient steps (SURVEY §7 step 9).
+
+Everything here is functional: `TrainState` is a pytree, `outer_step` is pure
+and jit/shard-safe.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from jrr_tpu.config import PipelineConfig
+from jrr_tpu.evals import metrics as metrics_lib
+from jrr_tpu.models import discriminator as disc_lib
+from jrr_tpu.models import smpl as smpl_lib
+from jrr_tpu.ops import jreg as jreg_lib
+from jrr_tpu.refine import engine, losses
+from jrr_tpu.refine.losses import FrameBatch, FrameParams
+
+
+class TrainState(NamedTuple):
+    j_reg_raw: jax.Array  # (17, V) trainable raw regressor
+    jreg_opt: optax.OptState
+    pose_disc: disc_lib.Params
+    pose_disc_opt: optax.OptState
+    shape_disc: disc_lib.Params
+    shape_disc_opt: optax.OptState
+    step: jax.Array  # scalar int32
+
+
+class OuterMetrics(NamedTuple):
+    joint_loss: jax.Array
+    pose_disc_gen_loss: jax.Array
+    shape_disc_gen_loss: jax.Array
+    pose_discriminator_loss: jax.Array
+    shape_discriminator_loss: jax.Array
+    j_regressor_error: jax.Array
+    mpjpe_before_jreg_step: jax.Array
+    pampjpe_before_jreg_step: jax.Array
+    mpjpe_after_jreg_step: jax.Array
+    pampjpe_after_jreg_step: jax.Array
+    mpjpe_init: jax.Array  # MPJPE of the SPIN initialization (for context)
+
+
+def _make_optims(cfg: PipelineConfig):
+    return (
+        optax.adam(cfg.jreg.lr),
+        optax.adam(cfg.discriminator.lr),
+        optax.adam(cfg.discriminator.lr),
+    )
+
+
+def init_train_state(
+    key: jax.Array, j_reg_init: jax.Array, cfg: PipelineConfig
+) -> TrainState:
+    kp, ks = jax.random.split(key)
+    jreg_opt, pd_opt, sd_opt = _make_optims(cfg)
+    pose_disc = disc_lib.init_pose_discriminator(kp)
+    shape_disc = disc_lib.init_shape_discriminator(ks)
+    return TrainState(
+        j_reg_raw=j_reg_init,
+        jreg_opt=jreg_opt.init(j_reg_init),
+        pose_disc=pose_disc,
+        pose_disc_opt=pd_opt.init(pose_disc),
+        shape_disc=shape_disc,
+        shape_disc_opt=sd_opt.init(shape_disc),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def jreg_supervision_loss(
+    j_reg_raw: jax.Array,
+    vertices: jax.Array,
+    gt_j3d_mm: jax.Array,
+    jreg_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """MSE(move_pelvis(J(raw) · verts), gt/1000) (reference: scripts/optimize.py:306-309)."""
+    j_norm = jreg_lib.normalize_jreg(j_reg_raw, jreg_mask)
+    joints = jreg_lib.apply_jreg(j_norm, vertices)
+    pred = jreg_lib.move_pelvis(joints)
+    gt = jreg_lib.move_pelvis(gt_j3d_mm) / 1000.0
+    return jnp.mean((pred - gt) ** 2)
+
+
+def outer_step(
+    state: TrainState,
+    model: smpl_lib.SMPLModel,
+    spin_init: FrameParams,
+    data: FrameBatch,
+    cfg: PipelineConfig,
+    jreg_mask: Optional[jax.Array] = None,
+):
+    """One full outer iteration on a batch. Returns (state, metrics, RefineResult)."""
+    jreg_optim, pd_optim, sd_optim = _make_optims(cfg)
+
+    # --- 1. Refinement (treats the shared state as constants) -------------
+    result = engine.refine_batch(
+        model,
+        jax.lax.stop_gradient(state.j_reg_raw),
+        spin_init,
+        data,
+        cfg.refiner,
+        pose_disc_params=jax.lax.stop_gradient(state.pose_disc),
+        shape_disc_params=jax.lax.stop_gradient(state.shape_disc),
+        jreg_mask=jreg_mask,
+    )
+    refined = result.params
+    verts = jax.lax.stop_gradient(result.vertices)
+
+    # --- 2. Discriminator updates (SPIN = real, refined = fake) -----------
+    spin_rot6d = jnp.concatenate([spin_init.orient6d, spin_init.pose6d], axis=1)
+    refined_rot6d = jax.lax.stop_gradient(
+        jnp.concatenate([refined.orient6d, refined.pose6d], axis=1)
+    )
+
+    def pose_disc_loss_fn(p):
+        real = disc_lib.pose_discriminator(p, spin_rot6d)
+        fake = disc_lib.pose_discriminator(p, refined_rot6d)
+        return disc_lib.discriminator_loss(real, fake)
+
+    pd_loss, pd_grads = jax.value_and_grad(pose_disc_loss_fn)(state.pose_disc)
+    pd_updates, pose_disc_opt = pd_optim.update(pd_grads, state.pose_disc_opt, state.pose_disc)
+    pose_disc = optax.apply_updates(state.pose_disc, pd_updates)
+
+    def shape_disc_loss_fn(p):
+        real = disc_lib.shape_discriminator(p, spin_init.betas)
+        fake = disc_lib.shape_discriminator(p, jax.lax.stop_gradient(refined.betas))
+        return disc_lib.discriminator_loss(real, fake)
+
+    sd_loss, sd_grads = jax.value_and_grad(shape_disc_loss_fn)(state.shape_disc)
+    sd_updates, shape_disc_opt = sd_optim.update(sd_grads, state.shape_disc_opt, state.shape_disc)
+    shape_disc = optax.apply_updates(state.shape_disc, sd_updates)
+
+    # --- 3. J-regressor step on detached refined vertices -----------------
+    def jreg_loss_fn(j):
+        return jreg_supervision_loss(j, verts, data.gt_j3d, jreg_mask)
+
+    # Metrics before the step (with the pre-update regressor).
+    joints_before = jreg_lib.apply_jreg(
+        jreg_lib.normalize_jreg(state.j_reg_raw, jreg_mask), verts
+    )
+    eval_before = metrics_lib.evaluate(joints_before, data.gt_j3d)
+
+    jr_loss, jr_grads = jax.value_and_grad(jreg_loss_fn)(state.j_reg_raw)
+    jr_updates, jreg_opt = jreg_optim.update(jr_grads, state.jreg_opt, state.j_reg_raw)
+    j_reg_raw = optax.apply_updates(state.j_reg_raw, jr_updates)
+
+    joints_after = jreg_lib.apply_jreg(
+        jreg_lib.normalize_jreg(j_reg_raw, jreg_mask), verts
+    )
+    eval_after = metrics_lib.evaluate(joints_after, data.gt_j3d)
+
+    # Context: how good was the SPIN init under the pre-update regressor?
+    init_out = losses.forward_frame(model, spin_init)
+    joints_init = jreg_lib.apply_jreg(
+        jreg_lib.normalize_jreg(state.j_reg_raw, jreg_mask), init_out.vertices
+    )
+    eval_init = metrics_lib.evaluate(joints_init, data.gt_j3d)
+
+    new_state = TrainState(
+        j_reg_raw=j_reg_raw,
+        jreg_opt=jreg_opt,
+        pose_disc=pose_disc,
+        pose_disc_opt=pose_disc_opt,
+        shape_disc=shape_disc,
+        shape_disc_opt=shape_disc_opt,
+        step=state.step + 1,
+    )
+    m = OuterMetrics(
+        joint_loss=result.stage_b_terms.j3d[-1] if cfg.refiner.stage_b_steps > 0 else jnp.zeros(()),
+        pose_disc_gen_loss=result.stage_b_terms.pose_disc[-1] if cfg.refiner.stage_b_steps > 0 else jnp.zeros(()),
+        shape_disc_gen_loss=result.stage_b_terms.shape_disc[-1] if cfg.refiner.stage_b_steps > 0 else jnp.zeros(()),
+        pose_discriminator_loss=pd_loss,
+        shape_discriminator_loss=sd_loss,
+        j_regressor_error=jr_loss,
+        mpjpe_before_jreg_step=eval_before.mpjpe,
+        pampjpe_before_jreg_step=eval_before.pa_mpjpe,
+        mpjpe_after_jreg_step=eval_after.mpjpe,
+        pampjpe_after_jreg_step=eval_after.pa_mpjpe,
+        mpjpe_init=eval_init.mpjpe,
+    )
+    return new_state, m, result
+
+
+# ---------------------------------------------------------------------------
+# Least-squares regressor fit (TPU-idiomatic alternative; SURVEY §7 step 9)
+# ---------------------------------------------------------------------------
+
+
+class JRegLstsqAccumulator(NamedTuple):
+    """Sufficient statistics for the ridge fit  min_W Σ_b ‖verts_bᵀ W − Y_b‖².
+
+    gram: (V, V) = Σ_b verts_b verts_bᵀ      rhs: (V, 17) = Σ_b verts_b Y_b
+    count: scalar frame count. All fields are plain sums → reduce across
+    shards/hosts with `psum`/`sum` and fit once at the end.
+    """
+
+    gram: jax.Array
+    rhs: jax.Array
+    count: jax.Array
+
+    @staticmethod
+    def zero(num_verts: int, num_joints: int = 17) -> "JRegLstsqAccumulator":
+        return JRegLstsqAccumulator(
+            gram=jnp.zeros((num_verts, num_verts)),
+            rhs=jnp.zeros((num_verts, num_joints)),
+            count=jnp.zeros(()),
+        )
+
+
+def jreg_lstsq_accumulate(
+    acc: JRegLstsqAccumulator,
+    vertices: jax.Array,  # (B, V, 3) refined pseudo-GT vertices
+    gt_j3d_mm: jax.Array,  # (B, 17, 3)
+    pelvis_ref: jax.Array,  # (B, 1, 3) pelvis location in vertex space (meters)
+) -> JRegLstsqAccumulator:
+    """Accumulate normal-equation statistics for a batch.
+
+    The supervision is pelvis-centered; we decouple rows by re-anchoring the
+    centered GT at a fixed pelvis estimate (from the current regressor,
+    detached): target Y = gt_centered + pelvis_ref.
+    """
+    target = jreg_lib.move_pelvis(gt_j3d_mm) / 1000.0 + pelvis_ref  # (B, 17, 3)
+    gram = jnp.einsum(
+        "bvc,bwc->vw", vertices, vertices, preferred_element_type=jnp.float32
+    )
+    rhs = jnp.einsum(
+        "bvc,bjc->vj", vertices, target, preferred_element_type=jnp.float32
+    )
+    return JRegLstsqAccumulator(
+        gram=acc.gram + gram, rhs=acc.rhs + rhs, count=acc.count + vertices.shape[0]
+    )
+
+
+def jreg_lstsq_solve(acc: JRegLstsqAccumulator, ridge: float = 1e-4) -> jax.Array:
+    """Solve the accumulated system and project to the feasible set.
+
+    Returns a (17, V) raw regressor (nonneg, rows ~sum to 1 after the
+    standard normalize). One Cholesky solve of (V, V) — MXU work, O(V³)≈3e11
+    flops at V=6890, a second or two on one chip.
+    """
+    v = acc.gram.shape[0]
+    lam = ridge * (acc.count + 1.0)
+    a = acc.gram + lam * jnp.eye(v, dtype=acc.gram.dtype)
+    w = jax.scipy.linalg.solve(a, acc.rhs, assume_a="pos")  # (V, 17)
+    w = jnp.maximum(w.T, 0.0)  # (17, V), project to nonneg
+    return w
