@@ -167,6 +167,11 @@ def render_silhouette(
 
     origin = jnp.stack([tile_x[:, 0], tile_y[:, 0]], axis=-1).astype(jnp.float32) * t
 
+    # Rematerialized in the backward pass: the (T², K) distance/coverage
+    # intermediates are recomputed rather than stored, keeping the VJP memory
+    # footprint at the (G², T²) alpha image instead of O(G²·T²·K) residuals
+    # (without this, a 100-step refinement scan at 224² OOMs a 16G chip).
+    @jax.checkpoint
     def tile_alpha(args):
         orig, tri, tri_valid = args  # (2,), (K, 3, 2), (K,)
         px = orig[None, :] + tile_offsets  # (T², 2)
