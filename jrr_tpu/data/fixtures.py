@@ -1,0 +1,156 @@
+"""Hermetic synthetic fixtures in the exact dataset schema.
+
+SURVEY §4 "Golden-file parity": CI and the eval harness never need Human3.6M.
+`write_fixture_dataset` materializes a tiny dataset directory (tensors.npz +
+images.json + PNG frames/masks) whose geometry is *self-consistent*: frames
+are generated from the SMPL model, 2D joints are true projections, and masks
+are true rendered silhouettes — so end-to-end parity checks have a recoverable
+ground truth by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from jrr_tpu import constants
+from jrr_tpu.models import smpl as smpl_lib
+from jrr_tpu.ops import jreg as jreg_lib, rotations
+from jrr_tpu.refine import losses
+from jrr_tpu.render import silhouette as sil_lib
+
+
+def make_synthetic_frames(
+    model: smpl_lib.SMPLModel,
+    j_reg_raw,
+    num_frames: int,
+    seed: int = 0,
+    image_size: int = constants.CROP_RES,
+    render_masks: bool = True,
+    pose_scale: float = 1.0,
+):
+    """Returns (FrameParams gt, FrameBatch data) on the default backend."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    gt = losses.FrameParams(
+        pose6d=rotations.rotmat_to_rot6d(
+            rotations.random_rotmat(key, (num_frames, 23))
+        ) * pose_scale,
+        orient6d=rotations.rotmat_to_rot6d(
+            rotations.random_rotmat(jax.random.PRNGKey(seed + 1), (num_frames, 1))
+        ),
+        betas=jnp.asarray(rng.normal(scale=0.4, size=(num_frames, 10)).astype(np.float32)),
+        cam_t=jnp.asarray(
+            np.stack(
+                [rng.uniform(-0.1, 0.1, num_frames), rng.uniform(-0.1, 0.1, num_frames),
+                 rng.uniform(18, 28, num_frames)], axis=-1,
+            ).astype(np.float32)
+        ),
+    )
+    out = losses.forward_frame(model, gt)
+    joints = jreg_lib.apply_jreg(jreg_lib.normalize_jreg(jnp.asarray(j_reg_raw)), out.vertices)
+
+    from jrr_tpu.config import RefinerConfig
+    cfg = RefinerConfig()
+    gt_j2d = losses.reproject_joints(joints, gt.cam_t, cfg)
+
+    mask = None
+    if render_masks:
+        spec = sil_lib.RasterizerSpec(image_size=image_size)
+        mask = sil_lib.render_mesh_silhouette(out.vertices, model.faces, gt.cam_t, spec)
+
+    data = losses.FrameBatch(gt_j2d=gt_j2d, gt_j3d=joints * 1000.0, mask=mask)
+    return gt, data
+
+
+def write_fixture_dataset(
+    root: str,
+    num_frames: int = 8,
+    seed: int = 0,
+    model: Optional[smpl_lib.SMPLModel] = None,
+    j_reg_raw: Optional[np.ndarray] = None,
+) -> str:
+    """Write a dataset directory consumable by `H36MDataset(root, 'validation')`."""
+    import imageio.v2 as imageio
+    import jax.numpy as jnp
+
+    if model is None:
+        model = smpl_lib.synthetic_smpl_model(seed=seed, num_verts=256, num_faces=500)
+    if j_reg_raw is None:
+        rng = np.random.default_rng(seed)
+        j_reg_raw = np.zeros((17, model.num_verts), np.float32)
+        for j in range(17):
+            j_reg_raw[j, rng.choice(model.num_verts, size=6, replace=False)] = rng.uniform(
+                0.5, 1.0, 6
+            )
+
+    gt, data = make_synthetic_frames(model, j_reg_raw, num_frames, seed=seed)
+
+    split_dir = os.path.join(root, "precomputed_val")
+    img_dir = os.path.join(root, "imageSequence")
+    mask_dir = os.path.join(root, "maskSequence")
+    os.makedirs(split_dir, exist_ok=True)
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(mask_dir, exist_ok=True)
+
+    r = constants.IMG_RES
+    # Place each crop-space render back into a 1000² frame at a known bbox.
+    images = []
+    rng = np.random.default_rng(seed + 2)
+    bboxes = np.zeros((num_frames, 4), np.float32)
+    gt_j2d_src = np.zeros((num_frames, 17, 2), np.float32)
+    masks224 = np.asarray(data.mask)  # (N, 224, 224)
+    j2d_crop = np.asarray(data.gt_j2d)
+
+    for i in range(num_frames):
+        side = int(rng.uniform(320, 620))
+        oy = int(rng.uniform(0, r - side))
+        ox = int(rng.uniform(0, r - side))
+        bboxes[i] = (oy, ox, oy + side, ox + side)  # (min_y, min_x, max_y, max_x)
+
+        # Upsample the 224 silhouette into the frame window (nearest).
+        m = masks224[i]
+        yy = (np.arange(side) * constants.CROP_RES / side).astype(int)
+        m_big = m[yy][:, yy]
+        frame = np.zeros((r, r), np.float32)
+        frame[oy : oy + side, ox : ox + side] = m_big
+
+        # 2D joints: crop coords → source-frame coords (inverse of
+        # reposition_j2d with scale = side/1000).
+        scale = side / r
+        gt_j2d_src[i, :, 0] = j2d_crop[i, :, 0] * (r / constants.CROP_RES) * scale + ox
+        gt_j2d_src[i, :, 1] = j2d_crop[i, :, 1] * (r / constants.CROP_RES) * scale + oy
+
+        img_u8 = (np.stack([frame] * 3, -1) * 255).astype(np.uint8)
+        mask_u8 = (frame * 255).astype(np.uint8)
+        mask_u8[0, 0] = 255  # the reference's valid-flag marker pixel
+        img_path = os.path.join(img_dir, f"img_{i:06d}.png")
+        imageio.imwrite(img_path, img_u8)
+        imageio.imwrite(os.path.join(mask_dir, f"img_{i:06d}.png"), mask_u8)
+        images.append(img_path)
+
+    intr = np.zeros((num_frames, 3, 3), np.float32)
+    intr[:, 0, 0] = intr[:, 1, 1] = 1100.0
+    intr[:, 0, 2] = intr[:, 1, 2] = 500.0
+    intr[:, 2, 2] = 1.0
+
+    np.savez(
+        os.path.join(split_dir, "tensors.npz"),
+        bboxes=bboxes,
+        betas=np.asarray(gt.betas),
+        estimated_translation=np.asarray(gt.cam_t),
+        gt_j2d=gt_j2d_src,
+        gt_j3d=np.asarray(data.gt_j3d),
+        intrinsics=intr,
+        orient=np.asarray(gt.orient6d),
+        pose=np.asarray(gt.pose6d),
+    )
+    with open(os.path.join(split_dir, "images.json"), "w") as f:
+        json.dump(images, f)
+    return root
