@@ -1,0 +1,234 @@
+"""SPIN initializer network: ResNet-50 backbone + IEF iterative regressor.
+
+The reference consumes SPIN's `hmr` model as an external dependency to produce
+per-frame initial estimates (24×6 rot6d pose, β10, weak-perspective cam) from
+the 224² crop (reference: scripts/optimize.py:90-94,164-168; architecture per
+the SPIN repo's models/hmr.py — ResNet-50 + 3-iteration iterative error
+feedback head). This is the TPU-native re-implementation in flax.linen with a
+torch-checkpoint converter, so the published SPIN weights can be loaded for
+output parity.
+
+Inference-mode by default (BatchNorm running statistics), matching how the
+reference uses it (`spin_model.eval()`, torch.no_grad()).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_POSE_PARAMS = 24 * 6
+
+
+class Bottleneck(nn.Module):
+    features: int
+    strides: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        norm = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
+
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.features, (3, 3), strides=(self.strides, self.strides),
+            padding=((1, 1), (1, 1)), use_bias=False, name="conv2",
+        )(y)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(y)
+        y = norm()(y)
+
+        if self.downsample:
+            residual = nn.Conv(
+                self.features * 4, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, name="downsample_conv",
+            )(x)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """Torch-layout ResNet-50 feature extractor (NCHW input, 2048-d output)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # NCHW → NHWC internally (TPU-native layout).
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, name="conv1",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        for stage, (blocks, features, stride) in enumerate(
+            [(3, 64, 1), (4, 128, 2), (6, 256, 2), (3, 512, 2)]
+        ):
+            for b in range(blocks):
+                x = Bottleneck(
+                    features=features,
+                    strides=stride if b == 0 else 1,
+                    downsample=(b == 0),
+                    name=f"layer{stage + 1}_{b}",
+                )(x, train=train)
+
+        return jnp.mean(x, axis=(1, 2))  # global average pool → (B, 2048)
+
+
+class SPINRegressor(nn.Module):
+    """IEF head: 3 iterations of [concat → fc1 → fc2 → delta heads]."""
+
+    n_iter: int = 3
+
+    @nn.compact
+    def __call__(self, feats, init_pose, init_shape, init_cam, train: bool = False):
+        pred_pose, pred_shape, pred_cam = init_pose, init_shape, init_cam
+        fc1 = nn.Dense(1024, name="fc1")
+        fc2 = nn.Dense(1024, name="fc2")
+        decpose = nn.Dense(NUM_POSE_PARAMS, name="decpose")
+        decshape = nn.Dense(10, name="decshape")
+        deccam = nn.Dense(3, name="deccam")
+        for _ in range(self.n_iter):
+            xc = jnp.concatenate([feats, pred_pose, pred_shape, pred_cam], axis=1)
+            xc = nn.relu(fc1(xc))
+            xc = nn.relu(fc2(xc))
+            pred_pose = decpose(xc) + pred_pose
+            pred_shape = decshape(xc) + pred_shape
+            pred_cam = deccam(xc) + pred_cam
+        return pred_pose, pred_shape, pred_cam
+
+
+class SPIN(nn.Module):
+    """Full hmr: image (B, 3, 224, 224), ImageNet-normalized → (pose6d, betas, cam)."""
+
+    n_iter: int = 3
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        feats = ResNet50(name="backbone")(image, train=train)
+        b = image.shape[0]
+        init_pose = jnp.broadcast_to(
+            self.param("init_pose", nn.initializers.zeros, (1, NUM_POSE_PARAMS)), (b, NUM_POSE_PARAMS)
+        )
+        init_shape = jnp.broadcast_to(
+            self.param("init_shape", nn.initializers.zeros, (1, 10)), (b, 10)
+        )
+        init_cam = jnp.broadcast_to(
+            self.param("init_cam", lambda k, s: jnp.asarray([[0.9, 0.0, 0.0]]), (1, 3)),
+            (b, 3),
+        )
+        pose, shape, cam = SPINRegressor(n_iter=self.n_iter, name="head")(
+            feats, init_pose, init_shape, init_cam, train=train
+        )
+        return pose.reshape(b, 24, 6), shape, cam
+
+
+def init_spin(key: jax.Array, n_iter: int = 3):
+    model = SPIN(n_iter=n_iter)
+    variables = model.init(key, jnp.zeros((1, 3, 224, 224)))
+    return model, variables
+
+
+def spin_apply(model: SPIN, variables, image: jax.Array):
+    """Inference forward. Returns (pose6d (B,24,6), betas (B,10), cam (B,3))."""
+    return model.apply(variables, image, train=False)
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+_STAGE_BLOCKS = [3, 4, 6, 3]
+
+
+def _conv_w(t: np.ndarray) -> np.ndarray:
+    """torch conv weight (O, I, H, W) → flax (H, W, I, O)."""
+    return np.transpose(t, (2, 3, 1, 0))
+
+
+def convert_torch_spin_checkpoint(
+    state_dict: Dict[str, np.ndarray], mean_params: Optional[Dict[str, np.ndarray]] = None,
+) -> Dict[str, Any]:
+    """SPIN torch `model_checkpoint.pt`['model'] state_dict → flax variables.
+
+    Accepts the SPIN repo's naming (conv1/bn1/layer{1..4}.{i}/fc1/fc2/dec*).
+    `mean_params` supplies init_pose/init_shape/init_cam (SPIN stores them as
+    buffers; the npz fields are pose/shape/cam).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {"backbone": {}, "head": {}}
+    batch_stats: Dict[str, Any] = {"backbone": {}}
+
+    def put_bn(dst_p, dst_s, prefix):
+        dst_p["scale"] = sd[f"{prefix}.weight"]
+        dst_p["bias"] = sd[f"{prefix}.bias"]
+        dst_s["mean"] = sd[f"{prefix}.running_mean"]
+        dst_s["var"] = sd[f"{prefix}.running_var"]
+
+    bb_p, bb_s = params["backbone"], batch_stats["backbone"]
+    bb_p["conv1"] = {"kernel": _conv_w(sd["conv1.weight"])}
+    bb_p["BatchNorm_0"] = {}
+    bb_s["BatchNorm_0"] = {}
+    put_bn(bb_p["BatchNorm_0"], bb_s["BatchNorm_0"], "bn1")
+
+    for stage in range(4):
+        for b in range(_STAGE_BLOCKS[stage]):
+            tp = f"layer{stage + 1}.{b}"
+            name = f"layer{stage + 1}_{b}"
+            blk_p: Dict[str, Any] = {}
+            blk_s: Dict[str, Any] = {}
+            for ci in range(1, 4):
+                blk_p[f"conv{ci}"] = {"kernel": _conv_w(sd[f"{tp}.conv{ci}.weight"])}
+                blk_p[f"BatchNorm_{ci - 1}"] = {}
+                blk_s[f"BatchNorm_{ci - 1}"] = {}
+                put_bn(blk_p[f"BatchNorm_{ci - 1}"], blk_s[f"BatchNorm_{ci - 1}"], f"{tp}.bn{ci}")
+            if f"{tp}.downsample.0.weight" in sd:
+                blk_p["downsample_conv"] = {
+                    "kernel": _conv_w(sd[f"{tp}.downsample.0.weight"])
+                }
+                blk_p["BatchNorm_3"] = {}
+                blk_s["BatchNorm_3"] = {}
+                put_bn(blk_p["BatchNorm_3"], blk_s["BatchNorm_3"], f"{tp}.downsample.1")
+            bb_p[name] = blk_p
+            bb_s[name] = blk_s
+
+    head = params["head"]
+    for lin in ("fc1", "fc2", "decpose", "decshape", "deccam"):
+        head[lin] = {
+            "kernel": sd[f"{lin}.weight"].T,
+            "bias": sd[f"{lin}.bias"],
+        }
+
+    if mean_params is not None:
+        params["init_pose"] = np.asarray(mean_params["pose"]).reshape(1, NUM_POSE_PARAMS)
+        params["init_shape"] = np.asarray(mean_params["shape"]).reshape(1, 10)
+        params["init_cam"] = np.asarray(mean_params["cam"]).reshape(1, 3)
+    elif "init_pose" in sd:
+        params["init_pose"] = sd["init_pose"].reshape(1, NUM_POSE_PARAMS)
+        params["init_shape"] = sd["init_shape"].reshape(1, 10)
+        params["init_cam"] = sd["init_cam"].reshape(1, 3)
+    else:
+        params["init_pose"] = np.zeros((1, NUM_POSE_PARAMS), np.float32)
+        params["init_shape"] = np.zeros((1, 10), np.float32)
+        params["init_cam"] = np.asarray([[0.9, 0.0, 0.0]], np.float32)
+
+    to_jnp = lambda tree: jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), tree)
+    return {"params": to_jnp(params), "batch_stats": to_jnp(batch_stats)}
+
+
+def normalize_image(image01: jax.Array) -> jax.Array:
+    """[0,1] RGB (B, 3, H, W) → ImageNet-normalized (reference: scripts/optimize.py:141-142)."""
+    from jrr_tpu import constants
+
+    mean = jnp.asarray(constants.IMG_NORM_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(constants.IMG_NORM_STD).reshape(1, 3, 1, 1)
+    return (image01 - mean) / std
