@@ -1,0 +1,116 @@
+"""Command-line entry point.
+
+Replaces the reference's import-time argparse globals
+(reference: scripts/args.py:3-103, main.py:13-27) with an explicit CLI that
+builds a frozen PipelineConfig. Flag names follow the reference where a live
+counterpart exists; dead reference flags (the METRO block, --compute_canada,
+ignored --opt_steps) are intentionally absent — loop counts are real here.
+
+Usage:
+    python -m jrr_tpu.cli --demo                 # hermetic synthetic end-to-end
+    python -m jrr_tpu.cli --data-root data/h36m  # converted H36M layout
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from jrr_tpu.config import (
+    DataConfig, DiscriminatorConfig, JRegConfig, PipelineConfig, RefinerConfig,
+    SilhouetteConfig,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native joint-regressor refinement")
+    p.add_argument("--name", default="jrr_tpu_run")
+    p.add_argument("--demo", action="store_true", help="synthetic hermetic run")
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--out", default="output")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--stage-a-steps", type=int, default=1000)
+    p.add_argument("--stage-b-steps", type=int, default=100)
+    p.add_argument("--learning-rate", type=float, default=1e-2, help="refinement lr (both stages)")
+    p.add_argument("--disc-learning-rate", type=float, default=1e-3)
+    p.add_argument("--j-reg-lr", type=float, default=1e-2)
+    p.add_argument("--no-silhouette", action="store_true")
+    p.add_argument("--no-discriminators", action="store_true")
+    p.add_argument("--silhouette-size", type=int, default=224)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--metrics-jsonl", default=None)
+    p.add_argument("--wandb-log", action="store_true")
+    p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "default"],
+        help="JAX platform override; --demo defaults to cpu (fast compiles; "
+        "bench.py is the TPU performance surface)",
+    )
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> PipelineConfig:
+    refiner = RefinerConfig(
+        stage_a_steps=args.stage_a_steps,
+        stage_b_steps=args.stage_b_steps,
+        stage_a_lr=args.learning_rate,
+        stage_b_lr=args.learning_rate,
+        silhouette=SilhouetteConfig(image_size=args.silhouette_size),
+        use_silhouette=not args.no_silhouette,
+        use_discriminators=not args.no_discriminators,
+    )
+    return PipelineConfig(
+        refiner=refiner,
+        discriminator=DiscriminatorConfig(lr=args.disc_learning_rate),
+        jreg=JRegConfig(lr=args.j_reg_lr),
+        data=DataConfig(batch_size=args.batch_size, shuffle_seed=args.seed),
+        seed=args.seed,
+    )
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    platform = args.platform or ("cpu" if args.demo else None)
+    if platform and platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    cfg = config_from_args(args)
+
+    if args.demo:
+        # Demo defaults: small enough to finish in about a minute anywhere.
+        cfg = dataclasses.replace(
+            cfg,
+            refiner=dataclasses.replace(
+                cfg.refiner,
+                stage_a_steps=min(cfg.refiner.stage_a_steps, 100),
+                stage_b_steps=min(cfg.refiner.stage_b_steps, 30),
+                use_silhouette=False,
+            ),
+            data=dataclasses.replace(cfg.data, batch_size=min(args.batch_size, 8)),
+        )
+
+    wandb_run = None
+    if args.wandb_log:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project="jrr_tpu", name=args.name)
+        except Exception as e:  # zero-egress environments
+            print(f"wandb unavailable ({e}); falling back to JSONL only")
+
+    from jrr_tpu.pipeline import run_pipeline
+    from jrr_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(
+        path=args.metrics_jsonl or f"{args.out}/metrics.jsonl", wandb_run=wandb_run
+    )
+    try:
+        run_pipeline(cfg, data_root=args.data_root, out_dir=args.out, demo=args.demo, logger=logger)
+    finally:
+        logger.close()
+
+
+if __name__ == "__main__":
+    main()

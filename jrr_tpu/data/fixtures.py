@@ -140,16 +140,23 @@ def write_fixture_dataset(
     intr[:, 0, 2] = intr[:, 1, 2] = 500.0
     intr[:, 2, 2] = 1.0
 
+    # Stored pose/betas/cam play the role of the reference's precomputed SPIN
+    # *predictions* (scripts/data.py:50-69): noisy initial estimates, while
+    # gt_j2d/gt_j3d stay exact — refinement has real error to remove.
+    prng = np.random.default_rng(seed + 3)
+    noisy = lambda x, s: np.asarray(x) + prng.normal(scale=s, size=np.shape(x)).astype(
+        np.float32
+    )
     np.savez(
         os.path.join(split_dir, "tensors.npz"),
         bboxes=bboxes,
-        betas=np.asarray(gt.betas),
-        estimated_translation=np.asarray(gt.cam_t),
+        betas=noisy(gt.betas, 0.1),
+        estimated_translation=noisy(gt.cam_t, 0.05),
         gt_j2d=gt_j2d_src,
         gt_j3d=np.asarray(data.gt_j3d),
         intrinsics=intr,
-        orient=np.asarray(gt.orient6d),
-        pose=np.asarray(gt.pose6d),
+        orient=noisy(gt.orient6d, 0.03),
+        pose=noisy(gt.pose6d, 0.06),
     )
     with open(os.path.join(split_dir, "images.json"), "w") as f:
         json.dump(images, f)

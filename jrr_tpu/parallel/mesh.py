@@ -19,6 +19,16 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def feasible_device_count(batch_size: int, available: Optional[int] = None) -> int:
+    """Largest device count ≤ available that divides the frame batch."""
+    if available is None:
+        available = len(jax.devices())
+    n = min(available, batch_size)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return max(n, 1)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

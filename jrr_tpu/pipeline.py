@@ -1,0 +1,241 @@
+"""End-to-end pipeline orchestration.
+
+The equivalent of the reference's `main.py` flow (reference: main.py:13-27):
+seed → optimize (refine + train regressor/discriminators over the dataset) →
+protocol-2 evaluation before/after. Differences by design:
+
+- every device-side step is one jitted sharded program (no per-iteration
+  python in the hot path);
+- refined pseudo-GT is written per shard with a manifest (restart skips
+  completed shards; the reference has no persistence — SURVEY §5);
+- the final regressor can come from the streaming Adam path (reference
+  semantics) or the closed-form least-squares fit over all refined shards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+from jrr_tpu.config import PipelineConfig
+
+
+@dataclasses.dataclass
+class PipelineArtifacts:
+    j_reg_initial: np.ndarray
+    j_reg_final: np.ndarray
+    j_reg_lstsq: Optional[np.ndarray]
+    eval_before_after: "object"
+    out_dir: str
+
+
+def _batch_to_device_inputs(batch: Dict[str, np.ndarray], spin_fn=None):
+    """Host batch dict → (FrameParams init, FrameBatch data).
+
+    With a SPIN model, initial estimates come from the network on the 224 crop
+    (reference: scripts/optimize.py:164-182); otherwise from the stored
+    orient/pose/betas/cam tensors (the reference's precomputed SPIN outputs).
+    """
+    import jax.numpy as jnp
+
+    from jrr_tpu.models import spin as spin_lib
+    from jrr_tpu.refine import engine, losses
+
+    mask = batch.get("mask_rcnn")
+    if mask is not None and mask.ndim == 4:
+        mask = mask[:, 0]
+    data = losses.FrameBatch(
+        gt_j2d=jnp.asarray(batch["gt_j2d"]),
+        gt_j3d=jnp.asarray(batch["gt_j3d"]),
+        mask=None if mask is None else jnp.asarray(mask),
+    )
+    if spin_fn is not None:
+        pose6d, betas, cam = spin_fn(
+            spin_lib.normalize_image(jnp.asarray(batch["spin_image"]))
+        )
+        init = engine.spin_prediction_to_params(pose6d, betas, cam)
+    else:
+        init = losses.FrameParams(
+            pose6d=jnp.asarray(batch["pose"]),
+            orient6d=jnp.asarray(batch["orient"]).reshape(-1, 1, 6),
+            betas=jnp.asarray(batch["betas"]),
+            cam_t=jnp.asarray(batch["cam"]),
+        )
+    return init, data
+
+
+def run_optimize(
+    cfg: PipelineConfig,
+    model,
+    j_reg_initial: np.ndarray,
+    batches: Iterable[Dict[str, np.ndarray]],
+    out_dir: str,
+    spin_fn=None,
+    logger=None,
+    use_mesh: bool = True,
+    resume: bool = True,
+):
+    """The `optimize_pose_refiner` equivalent (reference: scripts/optimize.py:88-337).
+
+    Returns (final TrainState, JRegLstsqAccumulator, ShardManifest).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from jrr_tpu.ops import jreg as jreg_lib
+    from jrr_tpu.parallel import data_parallel, mesh as mesh_lib
+    from jrr_tpu.refine import trainer
+    from jrr_tpu.utils import checkpoint as ckpt_lib
+    from jrr_tpu.utils.logging import outer_metrics_record
+
+    manifest = ckpt_lib.ShardManifest(os.path.join(out_dir, "refined"))
+    state = trainer.init_train_state(
+        jax.random.PRNGKey(cfg.seed), jnp.asarray(j_reg_initial), cfg
+    )
+
+    if use_mesh:
+        n_dev = cfg.mesh.num_devices or mesh_lib.feasible_device_count(
+            cfg.data.batch_size
+        )
+        mesh = mesh_lib.make_mesh(n_dev)
+        step_fn = data_parallel.make_sharded_outer_step(mesh, cfg)
+        state = mesh_lib.replicate(mesh, state)
+        model_dev = mesh_lib.replicate(mesh, model)
+        put_batch = lambda tree: mesh_lib.shard_batch(mesh, tree)
+    else:
+        step_fn = jax.jit(
+            lambda s, m, i, d: trainer.outer_step(s, m, i, d, cfg)
+        )
+        model_dev = model
+        put_batch = lambda tree: tree
+
+    acc = trainer.JRegLstsqAccumulator.zero(model.num_verts)
+    accumulate = jax.jit(trainer.jreg_lstsq_accumulate)
+
+    for shard_id, batch in enumerate(batches):
+        if resume and manifest.is_done(shard_id):
+            continue
+        t0 = time.time()
+        init, data = _batch_to_device_inputs(batch, spin_fn)
+        init, data = put_batch(init), put_batch(data)
+        state, m, result = step_fn(state, model_dev, init, data)
+
+        pelvis = result.joints3d[:, :1]
+        acc = accumulate(acc, result.vertices, data.gt_j3d, pelvis)
+
+        manifest.write_shard(
+            shard_id,
+            {
+                "pose6d": np.asarray(result.params.pose6d),
+                "orient6d": np.asarray(result.params.orient6d),
+                "betas": np.asarray(result.params.betas),
+                "cam_t": np.asarray(result.params.cam_t),
+                "joints3d": np.asarray(result.joints3d),
+            },
+        )
+        if logger is not None:
+            rec = outer_metrics_record(m)
+            rec["shard"] = shard_id
+            rec["batch_seconds"] = time.time() - t0
+            logger.log(rec, step=int(jax.device_get(state.step)))
+
+    ckpt_lib.save_train_state(os.path.join(out_dir, "ckpt"), jax.device_get(state), int(jax.device_get(state.step)))
+    return jax.device_get(state), jax.device_get(acc), manifest
+
+
+def run_pipeline(
+    cfg: PipelineConfig,
+    data_root: Optional[str] = None,
+    out_dir: str = "output",
+    demo: bool = False,
+    logger=None,
+) -> PipelineArtifacts:
+    """Full flow: optimize → regressor fit → protocol-2 before/after eval."""
+    import jax.numpy as jnp
+
+    from jrr_tpu.data import fixtures, h36m
+    from jrr_tpu.evals import harness
+    from jrr_tpu.models import smpl as smpl_lib
+    from jrr_tpu.refine import trainer
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    if demo:
+        model = smpl_lib.synthetic_smpl_model(seed=cfg.seed, num_verts=256, num_faces=500)
+        rng = np.random.default_rng(cfg.seed)
+        j_reg_initial = np.zeros((17, model.num_verts), np.float32)
+        for j in range(17):
+            j_reg_initial[j, rng.choice(model.num_verts, 6, replace=False)] = rng.uniform(
+                0.5, 1.0, 6
+            )
+        data_root = data_root or os.path.join(out_dir, "fixtures")
+        if not os.path.exists(os.path.join(data_root, "precomputed_val")):
+            fixtures.write_fixture_dataset(
+                data_root, num_frames=cfg.data.batch_size * 2, seed=cfg.seed,
+                model=model, j_reg_raw=j_reg_initial,
+            )
+        # Train from a perturbed regressor so the before/after comparison has
+        # real error to recover (the true regressor generated the fixtures).
+        j_reg_initial = j_reg_initial + np.abs(
+            rng.normal(scale=0.15, size=j_reg_initial.shape)
+        ).astype(np.float32) * (j_reg_initial == 0) * (
+            rng.uniform(size=j_reg_initial.shape) < 0.05
+        ) + rng.normal(scale=0.08, size=j_reg_initial.shape).astype(np.float32) * (
+            j_reg_initial > 0
+        )
+    else:
+        model = smpl_lib.resolve_smpl_model()
+        from jrr_tpu import assets
+
+        j_reg_initial = assets.load_retrained_j_regressor()  # placeholder until
+        # the SPIN data regressor is provided; --jreg-init overrides in the CLI.
+
+    dataset = h36m.H36MDataset(data_root, "validation")
+    loader = h36m.BatchLoader(
+        dataset, cfg.data.batch_size, seed=cfg.data.shuffle_seed,
+        drop_last=True, prefetch=cfg.data.prefetch,
+    )
+
+    state, acc, manifest = run_optimize(
+        cfg, model, j_reg_initial, iter(loader), out_dir, logger=logger,
+        use_mesh=True,
+    )
+    j_reg_final = np.asarray(state.j_reg_raw)
+    j_reg_lstsq = np.asarray(trainer.jreg_lstsq_solve(acc, cfg.jreg.lstsq_ridge))
+    np.savez(
+        os.path.join(out_dir, "retrained_j_regressor.npz"),
+        j_regressor=j_reg_final, j_regressor_lstsq=j_reg_lstsq,
+    )
+
+    # Protocol-2 eval: initializer predictions through initial vs final regressor.
+    def predictions():
+        for batch in iter(loader):
+            pose6d = np.concatenate(
+                [batch["orient"].reshape(-1, 1, 6), batch["pose"]], axis=1
+            )
+            yield {"pose6d": pose6d, "betas": batch["betas"], "gt_j3d": batch["gt_j3d"]}
+
+    before_after = harness.evaluate_regressor_pair(
+        model, predictions(), jnp.asarray(j_reg_initial), jnp.asarray(j_reg_final)
+    )
+    print(before_after.summary())
+
+    lstsq_pair = harness.evaluate_regressor_pair(
+        model, predictions(), jnp.asarray(j_reg_initial), jnp.asarray(j_reg_lstsq)
+    )
+    print(
+        f"\nafter (lstsq fit)\nMPJPE\n{lstsq_pair.after.mpjpe:.4f}\n"
+        f"PAMPJPE\n{lstsq_pair.after.pa_mpjpe:.4f}"
+    )
+
+    return PipelineArtifacts(
+        j_reg_initial=j_reg_initial,
+        j_reg_final=j_reg_final,
+        j_reg_lstsq=j_reg_lstsq,
+        eval_before_after=before_after,
+        out_dir=out_dir,
+    )

@@ -256,16 +256,38 @@ def jreg_lstsq_accumulate(
     )
 
 
-def jreg_lstsq_solve(acc: JRegLstsqAccumulator, ridge: float = 1e-4) -> jax.Array:
-    """Solve the accumulated system and project to the feasible set.
+def jreg_lstsq_solve(
+    acc: JRegLstsqAccumulator, ridge: float = 1e-4, nnls_steps: int = 200
+) -> jax.Array:
+    """Solve the accumulated system under the nonnegativity constraint.
 
-    Returns a (17, V) raw regressor (nonneg, rows ~sum to 1 after the
-    standard normalize). One Cholesky solve of (V, V) — MXU work, O(V³)≈3e11
-    flops at V=6890, a second or two on one chip.
+    Ridge-regularized normal-equation solve (one (V, V) Cholesky — MXU work,
+    O(V³)≈3e11 flops at V=6890, ~a second on one chip) followed by projected
+    gradient descent on the same quadratic to honor w ≥ 0 properly (a plain
+    solve-then-ReLU projection badly distorts under-determined fits).
+    Returns a (17, V) raw regressor.
     """
     v = acc.gram.shape[0]
-    lam = ridge * (acc.count + 1.0)
-    a = acc.gram + lam * jnp.eye(v, dtype=acc.gram.dtype)
-    w = jax.scipy.linalg.solve(a, acc.rhs, assume_a="pos")  # (V, 17)
-    w = jnp.maximum(w.T, 0.0)  # (17, V), project to nonneg
-    return w
+    # Normalize the quadratic by the frame count for scale-stable stepping.
+    n = jnp.maximum(acc.count, 1.0)
+    a = acc.gram / n + ridge * jnp.eye(v, dtype=acc.gram.dtype)
+    b = acc.rhs / n
+    w = jax.scipy.linalg.solve(a, b, assume_a="pos")  # (V, 17), unconstrained
+
+    # Lipschitz constant of ∇(½wᵀAw − bᵀw) via power iteration on A.
+    def power_iter(z, _):
+        z = a @ z
+        return z / jnp.linalg.norm(z), None
+
+    z0 = jnp.ones((v, 1), a.dtype) / jnp.sqrt(v)
+    z, _ = jax.lax.scan(power_iter, z0, None, length=20)
+    lmax = jnp.sum(z * (a @ z))
+    step = 1.0 / (lmax + 1e-12)
+
+    def pgd(w, _):
+        grad = a @ w - b
+        return jnp.maximum(w - step * grad, 0.0), None
+
+    w0 = jnp.maximum(w, 0.0)
+    w, _ = jax.lax.scan(pgd, w0, None, length=nnls_steps)
+    return w.T  # (17, V)
