@@ -48,6 +48,15 @@ class RasterizerSpec(NamedTuple):
     tile_size: int = 8
     faces_per_tile: int = 96
     focal_length: float = constants.FOCAL_LENGTH
+    # "pallas" = fused VMEM kernel (TPU; interpret-mode elsewhere),
+    # "xla" = lax.map formulation, "auto" = pallas on TPU else xla.
+    backend: str = "auto"
+    # Tiles per Pallas grid step; must divide B·G² and be a multiple of 8
+    # (TPU sublane constraint on the origin/alpha blocks).
+    pallas_chunk: int = 8
+    # Sort-based binning: max tiles per axis a face's padded bbox may span
+    # (cap·tile_size pixels); larger faces lose coverage beyond the cap.
+    max_tiles_per_face: int = 4
 
 
 def _signed_dist2_px(px: jax.Array, tri: jax.Array) -> jax.Array:
@@ -126,13 +135,15 @@ def render_silhouette_dense(
     return _alpha_from_coverage(p).reshape(s, s)
 
 
-def render_silhouette(
-    verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec
-) -> jax.Array:
-    """Tile-binned rasterization of one frame. verts_screen: (V, 3) (x, y, z_view)."""
+def _bin_faces(verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec):
+    """Per-tile static top-K candidate face lists for one frame.
+
+    Returns (origin (G², 2), sel_xy (G², K, 3, 2), sel_valid (G², K) bool).
+    """
     s, t, k = spec.image_size, spec.tile_size, spec.faces_per_tile
     assert s % t == 0, "image_size must be divisible by tile_size"
     g = s // t
+    k = min(k, faces.shape[0])
 
     xy, valid = _face_screen_verts(verts_screen, faces)  # (F, 3, 2), (F,)
 
@@ -159,13 +170,86 @@ def render_silhouette(
     _, face_idx = jax.lax.top_k(scores, k)  # (G², K)
     sel_valid = jnp.take_along_axis(hit, face_idx, axis=1)  # (G², K)
     sel_xy = xy[face_idx]  # (G², K, 3, 2)
+    origin = (
+        jnp.stack([tile_x[:, 0], tile_y[:, 0]], axis=-1).astype(jnp.float32) * t
+    )
+    return origin, sel_xy, sel_valid
+
+
+def _bin_faces_sorted(verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec):
+    """Sort-based exact binning — the fast path for the Pallas kernel.
+
+    The top_k formulation materializes a (G², F) hit matrix and runs top_k over
+    it (~9.5 ms/frame on v5e for F=13776); here each face instead emits its
+    ≤cap² (tile, face) COO pairs, one stable sort groups them by tile
+    (~0.02 ms/frame), and per-tile segments are read off with two
+    searchsorteds. Results are identical to `_bin_faces` whenever no face's
+    padded bbox spans more than `max_tiles_per_face` tiles per axis (body
+    meshes at 224²: faces are a few pixels).
+    """
+    s, t, k = spec.image_size, spec.tile_size, spec.faces_per_tile
+    assert s % t == 0
+    g = s // t
+    k = min(k, faces.shape[0])
+    cap = spec.max_tiles_per_face
+    f = faces.shape[0]
+
+    xy, valid = _face_screen_verts(verts_screen, faces)  # (F, 3, 2), (F,)
+    pad = 0.5 + spec.image_size / 2.0 * jnp.sqrt(jnp.maximum(spec.blur_radius, 0.0))
+    fmin = jnp.min(xy, axis=1) - pad
+    fmax = jnp.max(xy, axis=1) + pad
+    tmin = jnp.floor(fmin / t).astype(jnp.int32)  # (F, 2) (x, y)
+    tmax = jnp.floor(fmax / t).astype(jnp.int32)
+
+    on_screen = valid & jnp.all(tmax >= 0, axis=1) & (tmin[:, 0] < g) & (tmin[:, 1] < g)
+    tmin_c = jnp.clip(tmin, 0, g - 1)
+    span = jnp.clip(tmax, 0, g - 1) - tmin_c  # (F, 2) ≥ 0 for on-screen faces
+
+    dy = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
+    dx = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
+    ty = tmin_c[:, None, None, 1] + dy[None]
+    tx = tmin_c[:, None, None, 0] + dx[None]
+    pair_ok = (
+        on_screen[:, None, None]
+        & (dy[None] <= span[:, None, None, 1]) & (dx[None] <= span[:, None, None, 0])
+        & (ty < g) & (tx < g)
+    )
+    tile_id = jnp.where(pair_ok, ty * g + tx, g * g).reshape(-1)  # (F·cap²,)
+    face_id = jnp.broadcast_to(
+        jnp.arange(f, dtype=jnp.int32)[:, None], (f, cap * cap)
+    ).reshape(-1)
+
+    keys, vals = jax.lax.sort((tile_id, face_id), num_keys=1, is_stable=True)
+    tiles = jnp.arange(g * g, dtype=jnp.int32)
+    start = jnp.searchsorted(keys, tiles, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(keys, tiles, side="right").astype(jnp.int32)
+    count = end - start
+
+    slots = start[:, None] + jnp.arange(k, dtype=jnp.int32)[None]  # (G², K)
+    sel_face = vals[jnp.minimum(slots, keys.shape[0] - 1)]
+    sel_valid = jnp.arange(k)[None, :] < count[:, None]
+    sel_face = jnp.where(sel_valid, sel_face, 0)
+    sel_xy = xy[sel_face]  # (G², K, 3, 2)
+
+    tile_y = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0).reshape(-1)
+    tile_x = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1).reshape(-1)
+    origin = jnp.stack([tile_x, tile_y], axis=-1).astype(jnp.float32) * t
+    return origin, sel_xy, sel_valid
+
+
+def render_silhouette(
+    verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec
+) -> jax.Array:
+    """Tile-binned rasterization of one frame (XLA tile loop).
+    verts_screen: (V, 3) (x, y, z_view)."""
+    s, t = spec.image_size, spec.tile_size
+    g = s // t
+    origin, sel_xy, sel_valid = _bin_faces(verts_screen, faces, spec)
 
     # Pixel centers per tile: (T², 2) offsets.
     off_r = jax.lax.broadcasted_iota(jnp.float32, (t, t), 0)
     off_c = jax.lax.broadcasted_iota(jnp.float32, (t, t), 1)
     tile_offsets = jnp.stack([off_c, off_r], axis=-1).reshape(-1, 2)  # (x, y)
-
-    origin = jnp.stack([tile_x[:, 0], tile_y[:, 0]], axis=-1).astype(jnp.float32) * t
 
     # Rematerialized in the backward pass: the (T², K) distance/coverage
     # intermediates are recomputed rather than stored, keeping the VJP memory
@@ -189,6 +273,54 @@ def render_silhouette(
     return img
 
 
+def _tiles_to_image(alphas: jax.Array, g: int, t: int) -> jax.Array:
+    """(..., G², T²) → (..., S, S)."""
+    lead = alphas.shape[:-2]
+    return (
+        alphas.reshape(lead + (g, g, t, t))
+        .swapaxes(-3, -2)
+        .reshape(lead + (g * t, g * t))
+    )
+
+
+def render_silhouette_batch_pallas(
+    verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec
+) -> jax.Array:
+    """Batched rasterization through the fused Pallas tile kernel.
+
+    Binning stays in XLA (top_k + gathers, MXU/VPU friendly); all (B, G²)
+    tiles flatten into one kernel launch — tiles are fully independent, so the
+    batch axis just extends the grid.
+    """
+    from jrr_tpu.render import silhouette_pallas as sp
+
+    b = verts_screen.shape[0]
+    s, t = spec.image_size, spec.tile_size
+    g = s // t
+
+    origin, sel_xy, sel_valid = jax.vmap(
+        functools.partial(_bin_faces_sorted, faces=faces, spec=spec)
+    )(verts_screen)
+
+    tri, valid, _ = jax.vmap(sp.pack_tri)(sel_xy, sel_valid)
+    flat = lambda x: x.reshape((b * g * g,) + x.shape[2:])
+
+    px_to_ndc2 = (2.0 / s) ** 2
+    inv_sigma = px_to_ndc2 / spec.sigma
+    blur_px2 = spec.blur_radius / px_to_ndc2 if spec.blur_radius > 0 else 0.0
+
+    interpret = jax.default_backend() != "tpu"
+    num_tiles = b * g * g
+    chunk = spec.pallas_chunk
+    while num_tiles % chunk != 0:
+        chunk //= 2
+    alphas = sp.tiles_alpha_pallas(
+        flat(origin), flat(tri), flat(valid),
+        t, inv_sigma, blur_px2, chunk, interpret,
+    )  # (B·G², T²)
+    return _tiles_to_image(alphas.reshape(b, g * g, t * t), g, t)
+
+
 def render_mesh_silhouette(
     vertices_smpl: jax.Array,
     faces: jax.Array,
@@ -204,5 +336,15 @@ def render_mesh_silhouette(
     verts_screen = camera_lib.project_points_screen(
         vertices_smpl, cam_t, spec.image_size, spec.focal_length
     )
-    fn = render_silhouette_dense if dense else render_silhouette
-    return jax.vmap(functools.partial(fn, faces=faces, spec=spec))(verts_screen)
+    if dense:
+        return jax.vmap(
+            functools.partial(render_silhouette_dense, faces=faces, spec=spec)
+        )(verts_screen)
+    backend = spec.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        return render_silhouette_batch_pallas(verts_screen, faces, spec)
+    return jax.vmap(
+        functools.partial(render_silhouette, faces=faces, spec=spec)
+    )(verts_screen)
