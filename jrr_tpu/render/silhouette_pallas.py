@@ -128,18 +128,27 @@ def _bwd_kernel(
         dl_dsd2 = dl_dp * (-inv_sigma) * p * (1.0 - p)
         dl_ddmin = jnp.where(inside, -dl_dsd2, dl_dsd2)
 
-        # Route to the arg-min edge (first match wins on exact ties).
-        m0 = edges[0][4] <= dmin
-        m1 = (edges[1][4] <= dmin) & ~m0
-        m2 = (edges[2][4] <= dmin) & ~m0 & ~m1
-        masks = (m0, m1, m2)
+        # Route the min-distance subgradient to the contributing edge(s).
+        # NOT an exact argmin: exact float comparisons on d_e == dmin are
+        # fp-fragile — the compiler may re-fuse the d computations with
+        # different FMA contraction per use, so a near-tie pixel (degenerate
+        # "needle" faces tie along their whole length) can drop out of, or
+        # double into, the masks. A relative tolerance band (≫ contraction
+        # noise, ≪ geometric scales) makes the comparisons reproducible, and
+        # tied edges SPLIT the gradient evenly — the symmetric subgradient.
+        d0, d1, d2 = edges[0][4], edges[1][4], edges[2][4]
+        tol = 1e-4 * (1.0 + dmin)
+        sel = tuple(
+            (d_e <= dmin + tol).astype(jnp.float32) for d_e in (d0, d1, d2)
+        )
+        route = dl_ddmin / (sel[0] + sel[1] + sel[2])
         # Edge k endpoints within the (6, K) layout: edge0=(A,B), edge1=(B,C),
         # edge2=(C,A); accumulate per-vertex grads.
         acc = [jnp.zeros((1, k_pad), jnp.float32) for _ in range(6)]  # ax ay bx by cx cy
         ends = ((0, 2), (2, 4), (4, 0))  # (a_slot, b_slot) pairs into acc pairs
         for e in range(3):
             _, te, rxe, rye, _ = edges[e]
-            w = jnp.where(masks[e], dl_ddmin, 0.0)
+            w = sel[e] * route
             ga_x = jnp.sum(w * (-2.0) * (1.0 - te) * rxe, axis=0, keepdims=True)
             ga_y = jnp.sum(w * (-2.0) * (1.0 - te) * rye, axis=0, keepdims=True)
             gb_x = jnp.sum(w * (-2.0) * te * rxe, axis=0, keepdims=True)
