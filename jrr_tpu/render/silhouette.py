@@ -176,7 +176,7 @@ def _bin_faces(verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec):
     return origin, sel_xy, sel_valid
 
 
-def _bin_faces_sorted(verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec):
+def _bin_faces_sorted_core(verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec):
     """Sort-based exact binning — the fast path for the Pallas kernel.
 
     The top_k formulation materializes a (G², F) hit matrix and runs top_k over
@@ -186,6 +186,14 @@ def _bin_faces_sorted(verts_screen: jax.Array, faces: jax.Array, spec: Rasterize
     searchsorteds. Results are identical to `_bin_faces` whenever no face's
     padded bbox spans more than `max_tiles_per_face` tiles per axis (body
     meshes at 224²: faces are a few pixels).
+
+    Also inverts the sort into `slot_of_pair` (F, cap²): for each face's COO
+    pair, the flat (tile·K + k) slot it occupies (or the G²·K dump slot). The
+    backward pass uses this to turn the gather's scatter-add transpose into
+    pure gathers (see `_slot_gather`).
+
+    Returns (origin (G², 2), xy (F, 3, 2), sel_face (G², K) int32,
+    sel_valid (G², K) bool, slot_of_pair (F, cap²) int32).
     """
     s, t, k = spec.image_size, spec.tile_size, spec.faces_per_tile
     assert s % t == 0
@@ -214,27 +222,81 @@ def _bin_faces_sorted(verts_screen: jax.Array, faces: jax.Array, spec: Rasterize
         & (dy[None] <= span[:, None, None, 1]) & (dx[None] <= span[:, None, None, 0])
         & (ty < g) & (tx < g)
     )
-    tile_id = jnp.where(pair_ok, ty * g + tx, g * g).reshape(-1)  # (F·cap²,)
+    n = f * cap * cap
+    tile_id = jnp.where(pair_ok, ty * g + tx, g * g).reshape(-1)  # (N,)
     face_id = jnp.broadcast_to(
         jnp.arange(f, dtype=jnp.int32)[:, None], (f, cap * cap)
     ).reshape(-1)
+    pair_id = jnp.arange(n, dtype=jnp.int32)
 
-    keys, vals = jax.lax.sort((tile_id, face_id), num_keys=1, is_stable=True)
+    keys, vals, spos = jax.lax.sort((tile_id, face_id, pair_id), num_keys=1, is_stable=True)
     tiles = jnp.arange(g * g, dtype=jnp.int32)
     start = jnp.searchsorted(keys, tiles, side="left").astype(jnp.int32)
     end = jnp.searchsorted(keys, tiles, side="right").astype(jnp.int32)
     count = end - start
 
     slots = start[:, None] + jnp.arange(k, dtype=jnp.int32)[None]  # (G², K)
-    sel_face = vals[jnp.minimum(slots, keys.shape[0] - 1)]
+    sel_face = vals[jnp.minimum(slots, n - 1)]
     sel_valid = jnp.arange(k)[None, :] < count[:, None]
     sel_face = jnp.where(sel_valid, sel_face, 0)
-    sel_xy = xy[sel_face]  # (G², K, 3, 2)
+
+    # Invert the sort: flat output slot of each original COO pair.
+    pos = jnp.arange(n, dtype=jnp.int32)
+    in_grid = keys < g * g
+    kk = pos - jnp.where(in_grid, start[jnp.clip(keys, 0, g * g - 1)], 0)
+    slot_sorted = jnp.where(in_grid & (kk < k), keys * k + kk, g * g * k)
+    slot_of_pair = (
+        jnp.zeros((n,), jnp.int32).at[spos].set(slot_sorted).reshape(f, cap * cap)
+    )
 
     tile_y = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0).reshape(-1)
     tile_x = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1).reshape(-1)
     origin = jnp.stack([tile_x, tile_y], axis=-1).astype(jnp.float32) * t
-    return origin, sel_xy, sel_valid
+    return origin, xy, sel_face, sel_valid, slot_of_pair
+
+
+def _bin_faces_sorted(verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec):
+    """Compatibility wrapper: (origin, sel_xy, sel_valid) like `_bin_faces`."""
+    origin, xy, sel_face, sel_valid, _ = _bin_faces_sorted_core(
+        verts_screen, faces, spec
+    )
+    return origin, xy[sel_face], sel_valid
+
+
+@jax.custom_vjp
+def _slot_gather(xy_flat: jax.Array, sel_face: jax.Array, slot_of_pair: jax.Array):
+    """xy_flat (F, 6) → (G², K, 6) by sel_face, with a scatter-free backward.
+
+    The plain gather's VJP is a (G²·K)-row scatter-add — the dominant cost of
+    the rasterizer backward (~5 ms/frame of 7 on v5e). Here the transpose is
+    expressed through the precomputed slot table: each face SUMS the cotangent
+    rows of its own ≤cap² slots — gathers only.
+    """
+    return xy_flat[sel_face]
+
+
+def _slot_gather_fwd(xy_flat, sel_face, slot_of_pair):
+    return xy_flat[sel_face], (sel_face.shape, slot_of_pair)
+
+
+def _slot_gather_bwd(res, g):
+    import numpy as _np
+
+    sel_shape, slot_of_pair = res
+    g_flat = g.reshape(-1, g.shape[-1])
+    g_pad = jnp.concatenate([g_flat, jnp.zeros((1, g.shape[-1]), g.dtype)], axis=0)
+    idx = jnp.minimum(slot_of_pair, g_pad.shape[0] - 1)
+    d_pairs = g_pad[idx.reshape(-1)]  # (F·cap², 6)
+    dxy = d_pairs.reshape(slot_of_pair.shape[0], -1, g.shape[-1]).sum(axis=1)
+    f0 = jax.dtypes.float0
+    return (
+        dxy,
+        _np.zeros(sel_shape, dtype=f0),
+        _np.zeros(slot_of_pair.shape, dtype=f0),
+    )
+
+
+_slot_gather.defvjp(_slot_gather_fwd, _slot_gather_bwd)
 
 
 def render_silhouette(
@@ -298,9 +360,12 @@ def render_silhouette_batch_pallas(
     s, t = spec.image_size, spec.tile_size
     g = s // t
 
-    origin, sel_xy, sel_valid = jax.vmap(
-        functools.partial(_bin_faces_sorted, faces=faces, spec=spec)
+    origin, xy, sel_face, sel_valid, slot_of_pair = jax.vmap(
+        functools.partial(_bin_faces_sorted_core, faces=faces, spec=spec)
     )(verts_screen)
+    sel_xy = jax.vmap(_slot_gather)(
+        xy.reshape(b, -1, 6), sel_face, slot_of_pair
+    ).reshape(sel_face.shape + (3, 2))
 
     tri, valid, _ = jax.vmap(sp.pack_tri)(sel_xy, sel_valid)
     flat = lambda x: x.reshape((b * g * g,) + x.shape[2:])
