@@ -128,7 +128,10 @@ def write_fixture_dataset(
         gt_j2d_src[i, :, 1] = j2d_crop[i, :, 1] * (r / constants.CROP_RES) * scale + oy
 
         img_u8 = (np.stack([frame] * 3, -1) * 255).astype(np.uint8)
-        mask_u8 = (frame * 255).astype(np.uint8)
+        # Masks are stored at the silhouette working resolution (224²), which
+        # is what the refinement loss compares against (the reference's mask
+        # files are likewise render-resolution; scripts/optimize.py:236).
+        mask_u8 = (m * 255).astype(np.uint8)
         mask_u8[0, 0] = 255  # the reference's valid-flag marker pixel
         img_path = os.path.join(img_dir, f"img_{i:06d}.png")
         imageio.imwrite(img_path, img_u8)

@@ -96,6 +96,14 @@ def run_optimize(
     state = trainer.init_train_state(
         jax.random.PRNGKey(cfg.seed), jnp.asarray(j_reg_initial), cfg
     )
+    # Resume shared state from the newest checkpoint if present.
+    ckpt_dir = os.path.join(out_dir, "ckpt")
+    if resume and os.path.isdir(ckpt_dir):
+        existing = sorted(os.listdir(ckpt_dir))
+        if existing:
+            state = ckpt_lib.restore_train_state(
+                os.path.join(ckpt_dir, existing[-1]), state
+            )
 
     if use_mesh:
         n_dev = cfg.mesh.num_devices or mesh_lib.feasible_device_count(

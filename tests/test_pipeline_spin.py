@@ -1,0 +1,64 @@
+"""SPIN-initializer path through the pipeline + checkpoint resume."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jrr_tpu.config import PipelineConfig, RefinerConfig, DataConfig
+from jrr_tpu.data import fixtures, h36m
+from jrr_tpu.models import smpl as smpl_mod, spin as spin_lib
+from jrr_tpu.pipeline import _batch_to_device_inputs, run_optimize
+
+
+def test_spin_init_path(tmp_path):
+    root = fixtures.write_fixture_dataset(str(tmp_path), num_frames=2, seed=6)
+    ds = h36m.H36MDataset(root, "validation")
+    batch = next(iter(h36m.BatchLoader(ds, batch_size=2, shuffle=False)))
+
+    model, variables = spin_lib.init_spin(jax.random.PRNGKey(0))
+    spin_fn = jax.jit(lambda img: spin_lib.spin_apply(model, variables, img))
+
+    init, data = _batch_to_device_inputs(batch, spin_fn)
+    assert init.pose6d.shape == (2, 23, 6)
+    assert init.orient6d.shape == (2, 1, 6)
+    assert init.betas.shape == (2, 10)
+    assert init.cam_t.shape == (2, 3)
+    assert np.isfinite(np.asarray(init.cam_t)).all()
+    assert data.mask.shape[-1] == 224
+
+
+def test_run_optimize_resume_skips_shards(tmp_path):
+    root = fixtures.write_fixture_dataset(str(tmp_path / "ds"), num_frames=4, seed=7)
+    ds = h36m.H36MDataset(root, "validation")
+    model = smpl_mod.synthetic_smpl_model(seed=7, num_verts=256, num_faces=500)
+    rng = np.random.default_rng(7)
+    j_reg = np.zeros((17, 256), np.float32)
+    for j in range(17):
+        j_reg[j, rng.choice(256, 6, replace=False)] = rng.uniform(0.5, 1.0, 6)
+
+    cfg = PipelineConfig(
+        refiner=dataclasses.replace(
+            RefinerConfig(), stage_a_steps=3, stage_b_steps=3,
+            use_silhouette=False, use_discriminators=False,
+        ),
+        data=DataConfig(batch_size=2),
+    )
+    out = str(tmp_path / "run")
+    batches = list(iter(h36m.BatchLoader(ds, 2, shuffle=False)))
+    state1, acc1, man1 = run_optimize(
+        cfg, model, j_reg, iter(batches), out, use_mesh=False
+    )
+    assert man1.completed() == [0, 1]
+    assert int(state1.step) == 2
+
+    # Second run resumes: all shards skipped, state restored from checkpoint.
+    state2, acc2, man2 = run_optimize(
+        cfg, model, j_reg, iter(batches), out, use_mesh=False
+    )
+    assert int(state2.step) == 2  # no new outer steps ran
+    np.testing.assert_allclose(
+        np.asarray(state2.j_reg_raw), np.asarray(state1.j_reg_raw), atol=1e-6
+    )
