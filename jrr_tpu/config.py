@@ -38,8 +38,14 @@ class SilhouetteConfig:
     # gradients and is the recommended deviation (documented in SURVEY §2).
     blur_radius: float = 0.0
     # Static per-tile face-list capacity for the binned rasterizer.
-    faces_per_tile: int = 256
-    tile_size: int = 16
+    faces_per_tile: int = 96
+    tile_size: int = 8
+    # Re-bin the candidate face lists every N refinement steps (1 = every
+    # step). Vertices drift by fractions of a pixel per Adam step, so with
+    # `bin_margin_px` of slack the lists stay covering — binning cost
+    # amortizes away.
+    rebin_interval: int = 10
+    bin_margin_px: float = 4.0
 
 
 @dataclasses.dataclass(frozen=True)

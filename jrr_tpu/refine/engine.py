@@ -89,12 +89,13 @@ def refine_batch(
     # ---- Stage B: full five-term refinement ------------------------------
     opt_b = optax.adam(cfg.stage_b_lr)
 
-    def step_b(carry, _):
+    def step_b(carry, _, bins=None):
         p, opt_state = carry
 
         def loss_fn(p_):
             return losses.stage_b_loss(
-                model, j_reg_norm, pose_disc_params, shape_disc_params, p_, data, cfg
+                model, j_reg_norm, pose_disc_params, shape_disc_params, p_, data,
+                cfg, bins=bins,
             )
 
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
@@ -103,9 +104,49 @@ def refine_batch(
         updates, opt_state = opt_b.update(grads, opt_state, p)
         return (optax.apply_updates(p, updates), opt_state), terms
 
-    (params, _), terms_b = jax.lax.scan(
-        step_b, (params, opt_b.init(params)), None, length=cfg.stage_b_steps
+    # Candidate-list (binning) amortization: vertices move by fractions of a
+    # pixel per Adam step, so with bin_margin_px of bbox slack the face→tile
+    # lists from the chunk start stay covering for `rebin_interval` steps —
+    # binning+sort then costs 1/interval per step. interval=1 ⇒ exact
+    # per-step binning (reference behavior either way: the lists only gate
+    # which faces are *considered*, coverage is unchanged while within margin).
+    inner = cfg.silhouette.rebin_interval if cfg.use_silhouette else 1
+    inner = max(1, min(inner, cfg.stage_b_steps))
+    while cfg.stage_b_steps % inner != 0:
+        inner -= 1
+
+    use_bins = (
+        cfg.use_silhouette
+        and data.mask is not None
+        and inner > 1
     )
+    if use_bins:
+        from jrr_tpu.render import silhouette as sil_lib
+
+        spec = losses.rasterizer_spec(cfg)
+
+        def outer_body(carry, _):
+            p, opt_state = carry
+            out_now = losses.forward_frame(model, jax.lax.stop_gradient(p))
+            bins = sil_lib.compute_bins(
+                out_now.vertices, model.faces, jax.lax.stop_gradient(p.cam_t), spec
+            )
+            return jax.lax.scan(
+                lambda c, x: step_b(c, x, bins=bins), (p, opt_state), None,
+                length=inner,
+            )
+
+        (params, _), terms_b = jax.lax.scan(
+            outer_body, (params, opt_b.init(params)), None,
+            length=cfg.stage_b_steps // inner,
+        )
+        terms_b = jax.tree.map(
+            lambda x: x.reshape((cfg.stage_b_steps,) + x.shape[2:]), terms_b
+        )
+    else:
+        (params, _), terms_b = jax.lax.scan(
+            step_b, (params, opt_b.init(params)), None, length=cfg.stage_b_steps
+        )
 
     out = losses.forward_frame(model, params)
     joints3d = losses.joints_from_verts(j_reg_norm, out.vertices)

@@ -90,19 +90,24 @@ def j3d_loss(pred_joints_m: jax.Array, gt_j3d_mm: jax.Array) -> jax.Array:
     return jnp.mean((pred - gt) ** 2, axis=(-1, -2))  # (B,)
 
 
-def silhouette_loss(
-    vertices: jax.Array, faces: jax.Array, cam_t: jax.Array, mask: jax.Array,
-    cfg: RefinerConfig,
-) -> jax.Array:
-    spec = sil_lib.RasterizerSpec(
+def rasterizer_spec(cfg: RefinerConfig) -> sil_lib.RasterizerSpec:
+    return sil_lib.RasterizerSpec(
         image_size=cfg.silhouette.image_size,
         sigma=cfg.silhouette.sigma,
         blur_radius=cfg.silhouette.blur_radius,
         tile_size=cfg.silhouette.tile_size,
         faces_per_tile=cfg.silhouette.faces_per_tile,
         focal_length=cfg.camera.focal_length,
+        bin_margin_px=cfg.silhouette.bin_margin_px,
     )
-    render = sil_lib.render_mesh_silhouette(vertices, faces, cam_t, spec)
+
+
+def silhouette_loss(
+    vertices: jax.Array, faces: jax.Array, cam_t: jax.Array, mask: jax.Array,
+    cfg: RefinerConfig, bins=None,
+) -> jax.Array:
+    spec = rasterizer_spec(cfg)
+    render = sil_lib.render_mesh_silhouette(vertices, faces, cam_t, spec, bins=bins)
     return jnp.mean((render - mask) ** 2, axis=(-1, -2))  # (B,)
 
 
@@ -114,6 +119,7 @@ def stage_b_loss(
     params: FrameParams,
     data: FrameBatch,
     cfg: RefinerConfig,
+    bins=None,
 ):
     """Full objective (reference: scripts/optimize.py:252-253). Returns (scalar, LossTerms)."""
     out = forward_frame(model, params)
@@ -123,7 +129,9 @@ def stage_b_loss(
     l_j3d = j3d_loss(joints, data.gt_j3d)
 
     if cfg.use_silhouette and data.mask is not None:
-        l_sil = silhouette_loss(out.vertices, model.faces, params.cam_t, data.mask, cfg)
+        l_sil = silhouette_loss(
+            out.vertices, model.faces, params.cam_t, data.mask, cfg, bins=bins
+        )
     else:
         l_sil = jnp.zeros_like(l_j3d)
 

@@ -32,7 +32,7 @@ every pixel and is used as the oracle in tests.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,9 @@ class RasterizerSpec(NamedTuple):
     # Sort-based binning: max tiles per axis a face's padded bbox may span
     # (cap·tile_size pixels); larger faces lose coverage beyond the cap.
     max_tiles_per_face: int = 4
+    # Extra bbox padding (pixels) so candidate lists stay valid while vertices
+    # drift between re-binnings (see refine/engine.py rebin amortization).
+    bin_margin_px: float = 0.0
 
 
 def _signed_dist2_px(px: jax.Array, tri: jax.Array) -> jax.Array:
@@ -203,7 +206,11 @@ def _bin_faces_sorted_core(verts_screen: jax.Array, faces: jax.Array, spec: Rast
     f = faces.shape[0]
 
     xy, valid = _face_screen_verts(verts_screen, faces)  # (F, 3, 2), (F,)
-    pad = 0.5 + spec.image_size / 2.0 * jnp.sqrt(jnp.maximum(spec.blur_radius, 0.0))
+    pad = (
+        0.5
+        + spec.image_size / 2.0 * jnp.sqrt(jnp.maximum(spec.blur_radius, 0.0))
+        + spec.bin_margin_px
+    )
     fmin = jnp.min(xy, axis=1) - pad
     fmax = jnp.max(xy, axis=1) + pad
     tmin = jnp.floor(fmin / t).astype(jnp.int32)  # (F, 2) (x, y)
@@ -345,14 +352,38 @@ def _tiles_to_image(alphas: jax.Array, g: int, t: int) -> jax.Array:
     )
 
 
+class BinState(NamedTuple):
+    """Reusable per-batch candidate lists (all non-differentiable)."""
+
+    origin: jax.Array  # (B, G², 2)
+    sel_face: jax.Array  # (B, G², K) int32
+    sel_valid: jax.Array  # (B, G², K) bool
+    slot_of_pair: jax.Array  # (B, F, cap²) int32
+
+
+def compute_bins(
+    vertices_smpl: jax.Array, faces: jax.Array, cam_t: jax.Array, spec: RasterizerSpec
+) -> BinState:
+    """Bin once for reuse across refinement steps (set `bin_margin_px` to the
+    expected vertex drift so slightly-stale bins remain covering)."""
+    verts_screen = camera_lib.project_points_screen(
+        vertices_smpl, cam_t, spec.image_size, spec.focal_length
+    )
+    origin, _, sel_face, sel_valid, slot_of_pair = jax.vmap(
+        functools.partial(_bin_faces_sorted_core, faces=faces, spec=spec)
+    )(jax.lax.stop_gradient(verts_screen))
+    return BinState(origin, sel_face, sel_valid, slot_of_pair)
+
+
 def render_silhouette_batch_pallas(
-    verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec
+    verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec,
+    bins: Optional[BinState] = None,
 ) -> jax.Array:
     """Batched rasterization through the fused Pallas tile kernel.
 
-    Binning stays in XLA (top_k + gathers, MXU/VPU friendly); all (B, G²)
-    tiles flatten into one kernel launch — tiles are fully independent, so the
-    batch axis just extends the grid.
+    Binning stays in XLA (sort + gathers); all (B, G²) tiles flatten into one
+    kernel launch — tiles are fully independent, so the batch axis just
+    extends the grid. Pass `bins` to reuse candidate lists across steps.
     """
     from jrr_tpu.render import silhouette_pallas as sp
 
@@ -360,9 +391,13 @@ def render_silhouette_batch_pallas(
     s, t = spec.image_size, spec.tile_size
     g = s // t
 
-    origin, xy, sel_face, sel_valid, slot_of_pair = jax.vmap(
-        functools.partial(_bin_faces_sorted_core, faces=faces, spec=spec)
-    )(verts_screen)
+    if bins is None:
+        origin, xy, sel_face, sel_valid, slot_of_pair = jax.vmap(
+            functools.partial(_bin_faces_sorted_core, faces=faces, spec=spec)
+        )(verts_screen)
+    else:
+        origin, sel_face, sel_valid, slot_of_pair = bins
+        xy, _ = jax.vmap(functools.partial(_face_screen_verts, faces=faces))(verts_screen)
     sel_xy = jax.vmap(_slot_gather)(
         xy.reshape(b, -1, 6), sel_face, slot_of_pair
     ).reshape(sel_face.shape + (3, 2))
@@ -392,11 +427,13 @@ def render_mesh_silhouette(
     cam_t: jax.Array,
     spec: RasterizerSpec = RasterizerSpec(),
     dense: bool = False,
+    bins: Optional[BinState] = None,
 ) -> jax.Array:
     """Batched end-to-end: SMPL-frame vertices (B, V, 3) + cam (B, 3) → (B, S, S).
 
     Matches the reference `render_mesh` chain (reference: scripts/optimize.py:77-85):
     flip/scale vertices, perspective camera at T, soft-silhouette alpha.
+    `bins` (from `compute_bins`) reuses candidate face lists across steps.
     """
     verts_screen = camera_lib.project_points_screen(
         vertices_smpl, cam_t, spec.image_size, spec.focal_length
@@ -408,8 +445,8 @@ def render_mesh_silhouette(
     backend = spec.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if backend == "pallas":
-        return render_silhouette_batch_pallas(verts_screen, faces, spec)
+    if backend == "pallas" or bins is not None:
+        return render_silhouette_batch_pallas(verts_screen, faces, spec, bins=bins)
     return jax.vmap(
         functools.partial(render_silhouette, faces=faces, spec=spec)
     )(verts_screen)
