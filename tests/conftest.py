@@ -26,6 +26,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_checks", False)
 
+# CI numerics tripwire (SURVEY §5 "race detection/sanitizers"): set
+# JRR_DEBUG_NANS=1 to fail fast on any NaN produced inside jitted code.
+if os.environ.get("JRR_DEBUG_NANS") == "1":
+    jax.config.update("jax_debug_nans", True)
+
 import pytest  # noqa: E402
 
 
