@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-discriminators", action="store_true")
     p.add_argument("--silhouette-size", type=int, default=224)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--jreg-init", default=None,
+        help="initial (17, V) joint regressor file (.npy/.npz/.pt); the "
+        "reference uses SPIN's J_regressor_h36m.npy",
+    )
     p.add_argument("--metrics-jsonl", default=None)
     p.add_argument("--wandb-log", action="store_true")
     p.add_argument(
@@ -107,7 +112,10 @@ def main(argv=None) -> None:
         path=args.metrics_jsonl or f"{args.out}/metrics.jsonl", wandb_run=wandb_run
     )
     try:
-        run_pipeline(cfg, data_root=args.data_root, out_dir=args.out, demo=args.demo, logger=logger)
+        run_pipeline(
+            cfg, data_root=args.data_root, out_dir=args.out, demo=args.demo,
+            logger=logger, jreg_init_path=args.jreg_init,
+        )
     finally:
         logger.close()
 

@@ -46,6 +46,8 @@ class SilhouetteConfig:
     # amortizes away.
     rebin_interval: int = 10
     bin_margin_px: float = 4.0
+    # Max tiles per axis a face's padded bbox may span in sort-based binning.
+    max_tiles_per_face: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -155,12 +155,26 @@ def run_optimize(
     return jax.device_get(state), jax.device_get(acc), manifest
 
 
+def load_regressor_file(path: str) -> np.ndarray:
+    """(17, V) regressor from .npy / .npz(j_regressor) / torch .pt."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if path.endswith(".npz"):
+        with np.load(path) as f:
+            key = "j_regressor" if "j_regressor" in f else f.files[0]
+            return f[key].astype(np.float32)
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False).numpy().astype(np.float32)
+
+
 def run_pipeline(
     cfg: PipelineConfig,
     data_root: Optional[str] = None,
     out_dir: str = "output",
     demo: bool = False,
     logger=None,
+    jreg_init_path: Optional[str] = None,
 ) -> PipelineArtifacts:
     """Full flow: optimize → regressor fit → protocol-2 before/after eval."""
     import jax.numpy as jnp
@@ -197,10 +211,18 @@ def run_pipeline(
         )
     else:
         model = smpl_lib.resolve_smpl_model()
-        from jrr_tpu import assets
+        if jreg_init_path is not None:
+            # The reference starts from SPIN's original J_regressor_h36m.npy
+            # (scripts/optimize.py:105-107) — supply it here.
+            j_reg_initial = load_regressor_file(jreg_init_path)
+        else:
+            from jrr_tpu import assets
 
-        j_reg_initial = assets.load_retrained_j_regressor()  # placeholder until
-        # the SPIN data regressor is provided; --jreg-init overrides in the CLI.
+            j_reg_initial = assets.load_retrained_j_regressor()
+            print(
+                "WARNING: no --jreg-init given; starting from the shipped "
+                "retrained regressor instead of the original J_regressor_h36m"
+            )
 
     dataset = h36m.H36MDataset(data_root, "validation")
     loader = h36m.BatchLoader(

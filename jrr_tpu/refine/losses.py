@@ -99,6 +99,7 @@ def rasterizer_spec(cfg: RefinerConfig) -> sil_lib.RasterizerSpec:
         faces_per_tile=cfg.silhouette.faces_per_tile,
         focal_length=cfg.camera.focal_length,
         bin_margin_px=cfg.silhouette.bin_margin_px,
+        max_tiles_per_face=cfg.silhouette.max_tiles_per_face,
     )
 
 

@@ -306,6 +306,42 @@ def _slot_gather_bwd(res, g):
 _slot_gather.defvjp(_slot_gather_fwd, _slot_gather_bwd)
 
 
+def _tiles_alpha_xla(origin, tri, valid, tile, inv_sigma, blur_px2):
+    """jnp twin of the Pallas tile kernel (same packed layout and math).
+
+    Used on non-TPU backends — interpret-mode Pallas inside refinement scans
+    is orders of magnitude slower on CPU. Gradients come from plain autodiff.
+    origin (N, 2), tri (N, 6, K), valid (N, 1, K) → (N, T²).
+    """
+    t2 = tile * tile
+    idx = jnp.arange(t2)
+    px_x = origin[:, 0:1, None] + (idx % tile)[None, :, None]  # (N, T², 1)
+    px_y = origin[:, 1:2, None] + (idx // tile)[None, :, None]
+    ax, ay, bx, by, cx, cy = (tri[:, i, None, :] for i in range(6))  # (N, 1, K)
+
+    def edge(a_x, a_y, b_x, b_y):
+        ex = b_x - a_x
+        ey = b_y - a_y
+        qx = px_x - a_x
+        qy = px_y - a_y
+        cross = ex * qy - ey * qx
+        len2 = jnp.maximum(ex * ex + ey * ey, 1e-12)
+        t = jnp.clip((qx * ex + qy * ey) / len2, 0.0, 1.0)
+        rx = qx - t * ex
+        ry = qy - t * ey
+        return cross, rx * rx + ry * ry
+
+    c0, d0 = edge(ax, ay, bx, by)
+    c1, d1 = edge(bx, by, cx, cy)
+    c2, d2 = edge(cx, cy, ax, ay)
+    dmin = jnp.minimum(jnp.minimum(d0, d1), d2)
+    inside = ((c0 >= 0) & (c1 >= 0) & (c2 >= 0)) | ((c0 <= 0) & (c1 <= 0) & (c2 <= 0))
+    sd2 = jnp.where(inside, -dmin, dmin)
+    p = jax.nn.sigmoid(-sd2 * inv_sigma)
+    p = jnp.where((sd2 <= blur_px2) & (valid[:, 0:1, :] > 0), p, 0.0)
+    return 1.0 - jnp.exp(jnp.sum(jnp.log(jnp.maximum(1.0 - p, 1e-30)), axis=-1))
+
+
 def render_silhouette(
     verts_screen: jax.Array, faces: jax.Array, spec: RasterizerSpec
 ) -> jax.Array:
@@ -409,15 +445,19 @@ def render_silhouette_batch_pallas(
     inv_sigma = px_to_ndc2 / spec.sigma
     blur_px2 = spec.blur_radius / px_to_ndc2 if spec.blur_radius > 0 else 0.0
 
-    interpret = jax.default_backend() != "tpu"
-    num_tiles = b * g * g
-    chunk = spec.pallas_chunk
-    while num_tiles % chunk != 0:
-        chunk //= 2
-    alphas = sp.tiles_alpha_pallas(
-        flat(origin), flat(tri), flat(valid),
-        t, inv_sigma, blur_px2, chunk, interpret,
-    )  # (B·G², T²)
+    if jax.default_backend() == "tpu":
+        num_tiles = b * g * g
+        chunk = spec.pallas_chunk
+        while num_tiles % chunk != 0:
+            chunk //= 2
+        alphas = sp.tiles_alpha_pallas(
+            flat(origin), flat(tri), flat(valid),
+            t, inv_sigma, blur_px2, chunk, False,
+        )  # (B·G², T²)
+    else:
+        alphas = _tiles_alpha_xla(
+            flat(origin), flat(tri), flat(valid), t, inv_sigma, blur_px2
+        )
     return _tiles_to_image(alphas.reshape(b, g * g, t * t), g, t)
 
 
