@@ -7,8 +7,9 @@ fresh Adam states per batch (reference re-creates the optimizers per batch at
 optimize.py:187-202 — here each scan simply starts from `optax.adam(...).init`).
 
 TPU-first design decisions:
-- Each stage is ONE `lax.scan` under `jit` — the entire 1100-step refinement
-  of a frame batch is a single XLA program with no host round-trips.
+- Each stage compiles to `lax.scan`s under one `jit` — the entire 1100-step
+  refinement of a frame batch is a single XLA program with no host
+  round-trips (stage B nests scans when binning is amortized, see below).
 - Stage A's SMPL forward is hoisted out of the loop: its loss depends on the
   camera only, so the 3D joints are constants of the scan. The reference
   recomputes the full SMPL forward+backward 1000× (optimize.py:190-199) for

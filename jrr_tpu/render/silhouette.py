@@ -7,8 +7,9 @@ tile-binned, static-shape XLA program:
 1. project vertices to screen space (render/camera.py conventions);
 2. compute per-face screen bounding boxes;
 3. bin: for every image tile (T×T pixels), select up to K candidate faces
-   whose padded bbox intersects the tile (`lax.top_k` over a {0,1} hit mask —
-   static shapes, no dynamic face lists);
+   whose padded bbox intersects the tile — either the hit-matrix top_k
+   formulation (`_bin_faces`) or the fast sort-based COO formulation
+   (`_bin_faces_sorted_core`), both static-shape with no dynamic face lists;
 4. per tile, evaluate soft coverage of its T² pixels against its K faces:
    signed squared distance to the triangle (negative inside), SoftRas/pytorch3d
    blending `p = sigmoid(−d²_ndc / σ)`;
