@@ -29,6 +29,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-root", default=None)
     p.add_argument("--out", default="output")
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument(
+        "--train-epochs", type=int, default=1,
+        help="optimization passes over the split, reshuffled per epoch "
+        "(reference: --train_epochs, scripts/args.py:7)",
+    )
+    p.add_argument(
+        "--split", default="validation", choices=["train", "validation"],
+        help="dataset split to optimize over (reference effective behavior: "
+        "validation, scripts/optimize.py:133)",
+    )
     p.add_argument("--stage-a-steps", type=int, default=1000)
     p.add_argument("--stage-b-steps", type=int, default=100)
     p.add_argument("--learning-rate", type=float, default=1e-2, help="refinement lr (both stages)")
@@ -67,7 +77,10 @@ def config_from_args(args: argparse.Namespace) -> PipelineConfig:
         refiner=refiner,
         discriminator=DiscriminatorConfig(lr=args.disc_learning_rate),
         jreg=JRegConfig(lr=args.j_reg_lr),
-        data=DataConfig(batch_size=args.batch_size, shuffle_seed=args.seed),
+        data=DataConfig(
+            batch_size=args.batch_size, shuffle_seed=args.seed,
+            train_epochs=args.train_epochs, split=args.split,
+        ),
         seed=args.seed,
     )
 

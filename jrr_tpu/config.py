@@ -103,6 +103,13 @@ class DataConfig:
     batch_size: int = 256  # --batch_size default (scripts/args.py:8)
     shuffle_seed: int = 0
     prefetch: int = 2
+    # Optimization passes over the dataset (reference: --train_epochs,
+    # scripts/args.py:7; effective value 1). Each epoch reshuffles.
+    train_epochs: int = 1
+    # Which split the optimizer consumes. The reference optimizes over the
+    # validation split (scripts/optimize.py:133); the train split exists at
+    # scripts/data.py:50-69 and is selectable here.
+    split: str = "validation"
 
 
 @dataclasses.dataclass(frozen=True)

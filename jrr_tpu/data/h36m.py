@@ -187,12 +187,20 @@ class BatchLoader:
         self.num_hosts = num_hosts
         self.host_id = host_id
         self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle per epoch (torch DistributedSampler-style): each
+        epoch sees a different permutation, deterministically derived from
+        (seed, epoch). The reference's DataLoader(shuffle=True) reshuffles per
+        epoch implicitly (scripts/optimize.py:136-139)."""
+        self.epoch = int(epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
-            idx = np.random.default_rng(self.seed).permutation(n)
+            idx = np.random.default_rng((self.seed, self.epoch)).permutation(n)
         per_host = n // self.num_hosts
         return idx[self.host_id * per_host : (self.host_id + 1) * per_host]
 

@@ -210,28 +210,45 @@ def run_pipeline(
             j_reg_initial > 0
         )
     else:
-        model = smpl_lib.resolve_smpl_model()
-        if jreg_init_path is not None:
-            # The reference starts from SPIN's original J_regressor_h36m.npy
-            # (scripts/optimize.py:105-107) — supply it here.
-            j_reg_initial = load_regressor_file(jreg_init_path)
-        else:
-            from jrr_tpu import assets
-
-            j_reg_initial = assets.load_retrained_j_regressor()
-            print(
-                "WARNING: no --jreg-init given; starting from the shipped "
-                "retrained regressor instead of the original J_regressor_h36m"
+        # The reference starts training from SPIN's ORIGINAL
+        # J_regressor_h36m.npy (scripts/optimize.py:105-107). Defaulting to
+        # the shipped *retrained* artifact would silently corrupt any
+        # before/after comparison, so outside --demo an init is mandatory:
+        # either an explicit --jreg-init path or a converted
+        # J_regressor_h36m.{npy,npz} resolved from the data root.
+        if jreg_init_path is None:
+            for cand in (
+                os.path.join(data_root or "", "J_regressor_h36m.npy"),
+                os.path.join(data_root or "", "J_regressor_h36m.npz"),
+            ):
+                if data_root and os.path.exists(cand):
+                    jreg_init_path = cand
+                    break
+        if jreg_init_path is None:
+            raise ValueError(
+                "no --jreg-init given and no J_regressor_h36m.{npy,npz} found "
+                "under the data root; training must start from the original "
+                "regressor (reference: scripts/optimize.py:105-107), not the "
+                "shipped retrained artifact"
             )
+        j_reg_initial = load_regressor_file(jreg_init_path)
+        model = smpl_lib.resolve_smpl_model()
 
-    dataset = h36m.H36MDataset(data_root, "validation")
+    dataset = h36m.H36MDataset(data_root, cfg.data.split)
     loader = h36m.BatchLoader(
         dataset, cfg.data.batch_size, seed=cfg.data.shuffle_seed,
         drop_last=True, prefetch=cfg.data.prefetch,
     )
 
+    def epoch_batches():
+        """All train epochs back to back, reshuffled per epoch
+        (reference: --train_epochs, scripts/args.py:7)."""
+        for epoch in range(max(1, cfg.data.train_epochs)):
+            loader.set_epoch(epoch)
+            yield from iter(loader)
+
     state, acc, manifest = run_optimize(
-        cfg, model, j_reg_initial, iter(loader), out_dir, logger=logger,
+        cfg, model, j_reg_initial, epoch_batches(), out_dir, logger=logger,
         use_mesh=True,
     )
     j_reg_final = np.asarray(state.j_reg_raw)

@@ -158,6 +158,22 @@ class TestFixtureDataset:
         again = list(iter(h36m.BatchLoader(ds, batch_size=4, seed=0)))
         np.testing.assert_array_equal(batches[0]["gt_j3d"], again[0]["gt_j3d"])
 
+    def test_epoch_reshuffle(self, tmp_path):
+        """set_epoch must change the batch order but keep determinism
+        (reference: --train_epochs + DataLoader(shuffle=True) reshuffles per
+        epoch, scripts/args.py:7, scripts/optimize.py:136-139)."""
+        root = fixtures.write_fixture_dataset(str(tmp_path), num_frames=16, seed=3)
+        ds = h36m.H36MDataset(root, "validation")
+        loader = h36m.BatchLoader(ds, batch_size=16, seed=0)
+        loader.set_epoch(0)
+        e0 = loader._indices()
+        loader.set_epoch(1)
+        e1 = loader._indices()
+        assert not np.array_equal(e0, e1)
+        assert sorted(e0.tolist()) == sorted(e1.tolist())
+        loader.set_epoch(0)
+        np.testing.assert_array_equal(loader._indices(), e0)
+
     def test_host_sharded_indices_partition(self, tmp_path):
         root = fixtures.write_fixture_dataset(str(tmp_path), num_frames=8, seed=2)
         ds = h36m.H36MDataset(root, "validation")

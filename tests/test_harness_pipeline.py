@@ -132,3 +132,17 @@ def test_pipeline_demo_end_to_end(tmp_path):
     # Resume skips completed shards: a second run reuses the manifest quickly.
     arts2 = run_pipeline(cfg, out_dir=str(tmp_path / "run"), demo=True)
     assert arts2.eval_before_after.before.num_frames > 0
+
+
+def test_pipeline_requires_jreg_init_outside_demo(tmp_path):
+    """Training must not silently start from the shipped *retrained* regressor
+    (reference starts from J_regressor_h36m.npy, scripts/optimize.py:105-107)."""
+    import pytest
+
+    from jrr_tpu import pipeline
+
+    with pytest.raises(ValueError, match="jreg-init"):
+        pipeline.run_pipeline(
+            PipelineConfig(), data_root=str(tmp_path), out_dir=str(tmp_path / "out"),
+            demo=False, jreg_init_path=None,
+        )
