@@ -48,6 +48,12 @@ class SilhouetteConfig:
     bin_margin_px: float = 4.0
     # Max tiles per axis a face's padded bbox may span in sort-based binning.
     max_tiles_per_face: int = 4
+    # Fused page-gather rasterizer: vertex pages per tile (incl. dump slot).
+    pages_per_tile: int = 16
+    # Rasterizer implementation: "fused" (page-gather kernel, round 2),
+    # "pallas" (round-1 kernel + XLA gather glue), "xla" (lax.map tile loop).
+    # "auto" = fused on TPU, xla-twin elsewhere.
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

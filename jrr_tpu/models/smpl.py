@@ -47,6 +47,38 @@ EXTRA_JOINT_VERTEX_IDS: Tuple[int, ...] = (
     6191, 5782, 5905, 6016, 6133,          # right thumb/index/middle/ring/pinky tips
 )
 
+# Approximate T-pose rest-joint positions (meters) for the 24 SMPL joints —
+# generic human anatomy in SMPL joint order, used by the synthetic model so
+# its limbs are spread like a real body instead of a random-walk tangle
+# (which piles dozens of overlapping tubes into the same screen region and
+# misrepresents rasterizer depth complexity).
+_TPOSE_JOINTS = (
+    (0.00, 0.00, 0.0),    # 0 pelvis
+    (0.07, -0.08, 0.0),   # 1 L hip
+    (-0.07, -0.08, 0.0),  # 2 R hip
+    (0.00, 0.12, 0.0),    # 3 spine1
+    (0.10, -0.50, 0.0),   # 4 L knee
+    (-0.10, -0.50, 0.0),  # 5 R knee
+    (0.00, 0.25, 0.0),    # 6 spine2
+    (0.10, -0.90, 0.0),   # 7 L ankle
+    (-0.10, -0.90, 0.0),  # 8 R ankle
+    (0.00, 0.35, 0.0),    # 9 spine3
+    (0.12, -0.95, 0.12),  # 10 L foot
+    (-0.12, -0.95, 0.12), # 11 R foot
+    (0.00, 0.50, 0.0),    # 12 neck
+    (0.06, 0.45, 0.0),    # 13 L collar
+    (-0.06, 0.45, 0.0),   # 14 R collar
+    (0.00, 0.65, 0.0),    # 15 head
+    (0.18, 0.45, 0.0),    # 16 L shoulder
+    (-0.18, 0.45, 0.0),   # 17 R shoulder
+    (0.45, 0.45, 0.0),    # 18 L elbow
+    (-0.45, 0.45, 0.0),   # 19 R elbow
+    (0.70, 0.45, 0.0),    # 20 L wrist
+    (-0.70, 0.45, 0.0),   # 21 R wrist
+    (0.80, 0.45, 0.0),    # 22 L hand
+    (-0.80, 0.45, 0.0),   # 23 R hand
+)
+
 # SPIN's 49-joint gather over [45 smplx joints ++ 9 extra-regressor joints]
 # (reference: scripts/smpl.py:12-49 JOINT_MAP/JOINT_NAMES order).
 SPIN_49_JOINT_MAP: Tuple[int, ...] = (
@@ -73,6 +105,13 @@ class SMPLModel:
     parents: Tuple[int, ...] = dataclasses.field(
         default=SMPL_PARENTS, metadata=dict(static=True)
     )
+    # Spatial-locality vertex permutation (V,) int32: `vertex_perm[i]` is the
+    # original id of the vertex stored at position i of a space-filling-curve
+    # ordering of the rest template. Consumed by the fused page-gather
+    # rasterizer (render/silhouette_fused.py) so that the vertices an image
+    # tile touches cluster into few 128-vertex pages. Purely an internal
+    # acceleration structure — vertex order in all public outputs is unchanged.
+    vertex_perm: Optional[jax.Array] = None
 
     @property
     def num_verts(self) -> int:
@@ -190,6 +229,33 @@ def smpl_joints49(
     return all_joints[:, jnp.asarray(joint_map)]
 
 
+def _part1by2(x: np.ndarray) -> np.ndarray:
+    """Spread the low 10 bits of x two apart (Morton-code helper)."""
+    x = x.astype(np.uint64) & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def vertex_locality_perm(v_template: np.ndarray) -> np.ndarray:
+    """Morton (z-order) permutation of vertices by rest-template position.
+
+    Returns perm (V,) int32 such that `v_template[perm]` is ordered along a
+    3-D space-filling curve: vertices that are close in space get close ids,
+    so any small surface patch (what one image tile sees) touches only a few
+    contiguous 128-vertex pages. Screen-space locality tracks template
+    locality well because body parts move near-rigidly.
+    """
+    v = np.asarray(v_template, dtype=np.float64)
+    lo = v.min(axis=0)
+    extent = np.maximum(v.max(axis=0) - lo, 1e-9)
+    q = np.clip(((v - lo) / extent * 1023.0), 0, 1023).astype(np.uint64)
+    code = _part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1) | (_part1by2(q[:, 2]) << 2)
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Model loading / conversion
 # ---------------------------------------------------------------------------
@@ -270,6 +336,7 @@ def load_smpl_npz(
         faces=jnp.asarray(data["faces"], dtype=jnp.int32),
         j_regressor_extra=extra,
         parents=tuple(int(p) for p in parents),
+        vertex_perm=jnp.asarray(vertex_locality_perm(data["v_template"])),
     )
 
 
@@ -298,16 +365,39 @@ def synthetic_smpl_model(
         num_faces = 2 * num_verts - 4 if num_verts < 200 else constants.NUM_SMPL_FACES
         num_faces = min(num_faces, max(4, 2 * num_verts))
 
-    # Rest joints: random short offsets down the tree (roughly body-scaled, m).
-    j_rest = np.zeros((num_joints, 3), dtype=np.float32)
-    for k in range(1, num_joints):
-        j_rest[k] = j_rest[parents[k]] + rng.normal(scale=0.12, size=3)
+    # Rest joints: a T-pose human skeleton when the joint count matches SMPL
+    # (so limbs are spread like a real body); otherwise a random walk rescaled
+    # to body size. (Round 1 used an unscaled random walk, which at the SPIN
+    # camera distance projected the whole body into a ~100 px self-overlapping
+    # blob — thousands of candidate faces per 8×8 tile, nothing like the real
+    # per-tile rasterizer workload.)
+    if num_joints == len(_TPOSE_JOINTS):
+        j_rest = np.asarray(_TPOSE_JOINTS, dtype=np.float32)
+        j_rest = j_rest + rng.normal(scale=0.01, size=j_rest.shape).astype(np.float32)
+    else:
+        j_rest = np.zeros((num_joints, 3), dtype=np.float32)
+        for k in range(1, num_joints):
+            j_rest[k] = j_rest[parents[k]] + rng.normal(scale=0.12, size=3)
+        extent = float(np.max(j_rest.max(axis=0) - j_rest.min(axis=0)))
+        j_rest *= 1.7 / max(extent, 1e-6)
 
-    # Vertices around joints.
+    # Vertices on tube SURFACES along the bones (not solid balls): real bodies
+    # are 2-D surfaces, so a projected region has ~2 overlapping layers of
+    # faces, not O(cluster³) — this is what sets the per-tile face counts any
+    # honest rasterizer benchmark depends on.
     vert_joint = rng.integers(0, num_joints, size=num_verts)
-    v_template = (j_rest[vert_joint] + rng.normal(scale=0.06, size=(num_verts, 3))).astype(
-        np.float32
+    parent_of_v = np.asarray([p if p >= 0 else 0 for p in parents])[vert_joint]
+    along = rng.uniform(0.0, 1.0, size=(num_verts, 1)).astype(np.float32)
+    base = j_rest[vert_joint] * (1.0 - along) + j_rest[parent_of_v] * along
+    dirs = rng.normal(size=(num_verts, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    torso = np.isin(vert_joint, (0, 3, 6, 9, 12)) & (num_joints == 24)
+    radius = np.where(
+        torso[:, None],
+        rng.uniform(0.09, 0.14, size=(num_verts, 1)),
+        rng.uniform(0.04, 0.07, size=(num_verts, 1)),
     )
+    v_template = (base + dirs * radius).astype(np.float32)
 
     # LBS weights: dominant joint + small spillover to its parent, rows sum 1.
     w = np.zeros((num_verts, num_joints), dtype=np.float32)
@@ -328,7 +418,22 @@ def synthetic_smpl_model(
     posedirs = rng.normal(scale=1e-3, size=(9 * (num_joints - 1), num_verts * 3)).astype(
         np.float32
     )
-    faces = rng.integers(0, num_verts, size=(num_faces, 3)).astype(np.int32)
+    # Faces connect NEIGHBORING vertices (anchor + two of its nearest), like a
+    # real surface mesh: triangles span centimeters, not the whole body. Round
+    # 1 sampled three independent random vertices, which produced body-sized
+    # "faces" no real mesh has — silently exceeding the rasterizer's
+    # tiles-per-face span cap and misrepresenting the true per-tile workload.
+    anchors = rng.integers(0, num_verts, size=num_faces)
+    d2 = np.sum(
+        (v_template[anchors, None, :] - v_template[None, :, :]) ** 2, axis=-1
+    )  # (num_faces, V)
+    d2[np.arange(num_faces), anchors] = np.inf
+    nn = np.argsort(d2, axis=1)[:, :8]  # 8 nearest neighbors per anchor
+    pick = rng.permuted(np.tile(np.arange(8), (num_faces, 1)), axis=1)[:, :2]
+    faces = np.stack(
+        [anchors, np.take_along_axis(nn, pick[:, :1], 1)[:, 0],
+         np.take_along_axis(nn, pick[:, 1:2], 1)[:, 0]], axis=1
+    ).astype(np.int32)
     extra = None
     if num_verts == constants.NUM_SMPL_VERTS:
         extra_np = np.zeros((9, num_verts), dtype=np.float32)
@@ -344,6 +449,7 @@ def synthetic_smpl_model(
         faces=jnp.asarray(faces, dtype=jnp.int32),
         j_regressor_extra=extra,
         parents=parents,
+        vertex_perm=jnp.asarray(vertex_locality_perm(v_template)),
     )
 
 

@@ -41,6 +41,9 @@ class RefineResult(NamedTuple):
     stage_b_terms: LossTerms  # each (stage_b_steps,)
     joints3d: jax.Array  # (B, 17, 3) final regressed joints (meters)
     vertices: jax.Array  # (B, V, 3) final vertices
+    # Rasterizer capacity counters, max over rebin chunks (None when the
+    # silhouette term is off or binning is per-step). Never-silent caps.
+    bin_stats: Optional["object"] = None
 
 
 def _hand_feet_grad_mask(grads: FrameParams) -> FrameParams:
@@ -121,29 +124,42 @@ def refine_batch(
         and data.mask is not None
         and inner > 1
     )
+    bin_stats = None
     if use_bins:
         from jrr_tpu.render import silhouette as sil_lib
+        from jrr_tpu.render import silhouette_fused as sf
 
         spec = losses.rasterizer_spec(cfg)
+        fused = losses.resolve_silhouette_backend(spec) == "fused"
 
         def outer_body(carry, _):
             p, opt_state = carry
             out_now = losses.forward_frame(model, jax.lax.stop_gradient(p))
-            bins = sil_lib.compute_bins(
-                out_now.vertices, model.faces, jax.lax.stop_gradient(p.cam_t), spec
-            )
-            return jax.lax.scan(
+            cam_sg = jax.lax.stop_gradient(p.cam_t)
+            if fused:
+                bins = sf.compute_fused_bins(out_now.vertices, model, cam_sg, spec)
+                stats = bins.stats
+            else:
+                bins = sil_lib.compute_bins(
+                    out_now.vertices, model.faces, cam_sg, spec
+                )
+                stats = None
+            carry_out, terms = jax.lax.scan(
                 lambda c, x: step_b(c, x, bins=bins), (p, opt_state), None,
                 length=inner,
             )
+            return carry_out, (terms, stats)
 
-        (params, _), terms_b = jax.lax.scan(
+        (params, _), (terms_b, stats_b) = jax.lax.scan(
             outer_body, (params, opt_b.init(params)), None,
             length=cfg.stage_b_steps // inner,
         )
         terms_b = jax.tree.map(
             lambda x: x.reshape((cfg.stage_b_steps,) + x.shape[2:]), terms_b
         )
+        if stats_b is not None:
+            # Worst chunk is the representative per-batch figure.
+            bin_stats = jax.tree.map(lambda x: jnp.max(x, axis=0), stats_b)
     else:
         (params, _), terms_b = jax.lax.scan(
             step_b, (params, opt_b.init(params)), None, length=cfg.stage_b_steps
@@ -157,6 +173,7 @@ def refine_batch(
         stage_b_terms=terms_b,
         joints3d=joints3d,
         vertices=out.vertices,
+        bin_stats=bin_stats,
     )
 
 

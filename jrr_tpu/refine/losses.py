@@ -100,15 +100,35 @@ def rasterizer_spec(cfg: RefinerConfig) -> sil_lib.RasterizerSpec:
         focal_length=cfg.camera.focal_length,
         bin_margin_px=cfg.silhouette.bin_margin_px,
         max_tiles_per_face=cfg.silhouette.max_tiles_per_face,
+        pages_per_tile=cfg.silhouette.pages_per_tile,
+        backend=cfg.silhouette.backend,
     )
 
 
+def resolve_silhouette_backend(spec: sil_lib.RasterizerSpec) -> str:
+    """"auto" → the fused page-gather path everywhere (Pallas kernel on TPU,
+    its XLA twin elsewhere); "pallas"/"xla" force the round-1 paths."""
+    return "fused" if spec.backend == "auto" else spec.backend
+
+
 def silhouette_loss(
-    vertices: jax.Array, faces: jax.Array, cam_t: jax.Array, mask: jax.Array,
-    cfg: RefinerConfig, bins=None,
+    model: smpl_lib.SMPLModel, vertices: jax.Array, cam_t: jax.Array,
+    mask: jax.Array, cfg: RefinerConfig, bins=None,
 ) -> jax.Array:
+    """Per-frame MSE between the rendered soft silhouette and the GT mask
+    (reference: scripts/optimize.py:234-247). The fused path compares in tile
+    space — the same pixel set, never reassembled into an image."""
     spec = rasterizer_spec(cfg)
-    render = sil_lib.render_mesh_silhouette(vertices, faces, cam_t, spec, bins=bins)
+    backend = resolve_silhouette_backend(spec)
+    if backend == "fused":
+        from jrr_tpu.render import silhouette_fused as sf
+
+        tiles = sf.silhouette_tiles_fused(vertices, model, cam_t, spec, bins=bins)
+        mask_tiles = sf.image_to_tiles(mask, spec.tile_size)
+        return jnp.mean((tiles - mask_tiles) ** 2, axis=(-1, -2))  # (B,)
+    render = sil_lib.render_mesh_silhouette(
+        vertices, model.faces, cam_t, spec._replace(backend=backend), bins=bins
+    )
     return jnp.mean((render - mask) ** 2, axis=(-1, -2))  # (B,)
 
 
@@ -131,7 +151,7 @@ def stage_b_loss(
 
     if cfg.use_silhouette and data.mask is not None:
         l_sil = silhouette_loss(
-            out.vertices, model.faces, params.cam_t, data.mask, cfg, bins=bins
+            model, out.vertices, params.cam_t, data.mask, cfg, bins=bins
         )
     else:
         l_sil = jnp.zeros_like(l_j3d)

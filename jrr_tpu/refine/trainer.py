@@ -64,6 +64,11 @@ class OuterMetrics(NamedTuple):
     mpjpe_after_jreg_step: jax.Array
     pampjpe_after_jreg_step: jax.Array
     mpjpe_init: jax.Array  # MPJPE of the SPIN initialization (for context)
+    # Rasterizer capacity counters (worst rebin chunk); nonzero values mean
+    # the binned rasterizer dropped candidates — raise faces_per_tile /
+    # pages_per_tile / max_tiles_per_face if quality matters there.
+    rasterizer_dropped: jax.Array
+    rasterizer_max_faces_per_tile: jax.Array
 
 
 def _make_optims(cfg: PipelineConfig):
@@ -202,6 +207,16 @@ def outer_step(
         mpjpe_after_jreg_step=eval_after.mpjpe,
         pampjpe_after_jreg_step=eval_after.pa_mpjpe,
         mpjpe_init=eval_init.mpjpe,
+        rasterizer_dropped=(
+            result.bin_stats.total_dropped()
+            if result.bin_stats is not None
+            else jnp.zeros((), jnp.int32)
+        ),
+        rasterizer_max_faces_per_tile=(
+            result.bin_stats.max_faces_per_tile
+            if result.bin_stats is not None
+            else jnp.zeros((), jnp.int32)
+        ),
     )
     return new_state, m, result
 

@@ -61,6 +61,9 @@ class RasterizerSpec(NamedTuple):
     # Extra bbox padding (pixels) so candidate lists stay valid while vertices
     # drift between re-binnings (see refine/engine.py rebin amortization).
     bin_margin_px: float = 0.0
+    # Fused page-gather path (silhouette_fused.py): vertex pages a tile may
+    # reference, including the reserved dump slot (so P̂−1 usable).
+    pages_per_tile: int = 16
 
 
 def _signed_dist2_px(px: jax.Array, tri: jax.Array) -> jax.Array:

@@ -64,17 +64,13 @@ def _pixel_coords(origin_ref, c, t2, tile, k_pad):
     return px_x, px_y
 
 
-def _coverage_terms(tri_ref, valid_ref, origin_ref, c, *, tile, k_pad, inv_sigma, blur_px2):
-    """Shared forward computation for one tile c of the chunk."""
-    t2 = tile * tile
-    px_x, px_y = _pixel_coords(origin_ref, c, t2, tile, k_pad)
-    ax = tri_ref[c, 0:1, :]
-    ay = tri_ref[c, 1:2, :]
-    bx = tri_ref[c, 2:3, :]
-    by = tri_ref[c, 3:4, :]
-    cx = tri_ref[c, 4:5, :]
-    cy = tri_ref[c, 5:6, :]
+def _coverage_rows(px_x, px_y, rows, *, inv_sigma, blur_px2, valid_row=None):
+    """Coverage from corner-coordinate rows (shared by both kernel families).
 
+    rows = (ax, ay, bx, by, cx, cy), each (1, K); px_* (T², K).
+    Returns (p, sd2, dmin, inside, edges).
+    """
+    ax, ay, bx, by, cx, cy = rows
     c0, t0, rx0, ry0, d0 = _edge_terms(px_x, px_y, ax, ay, bx, by)
     c1, t1, rx1, ry1, d1 = _edge_terms(px_x, px_y, bx, by, cx, cy)
     c2, t2_, rx2, ry2, d2 = _edge_terms(px_x, px_y, cx, cy, ax, ay)
@@ -85,13 +81,62 @@ def _coverage_terms(tri_ref, valid_ref, origin_ref, c, *, tile, k_pad, inv_sigma
 
     p = jax.nn.sigmoid(-sd2 * inv_sigma)
     in_band = sd2 <= blur_px2
-    p = jnp.where(in_band & (valid_ref[c, 0:1, :] > 0), p, 0.0)
+    if valid_row is not None:
+        in_band = in_band & (valid_row > 0)
+    p = jnp.where(in_band, p, 0.0)
     edges = (
         (c0, t0, rx0, ry0, d0),
         (c1, t1, rx1, ry1, d1),
         (c2, t2_, rx2, ry2, d2),
     )
     return p, sd2, dmin, inside, edges
+
+
+def _corner_row_grads(g, p, dmin, inside, edges, *, inv_sigma, k_pad):
+    """dL/d(ax, ay, bx, by, cx, cy) rows (1, K) given dL/dα per pixel.
+
+    g: (T², 1). Routes the min-distance subgradient with the tolerance-band
+    symmetric split (see `_bwd_kernel` docstring for why exact argmin is
+    fp-fragile here).
+    """
+    one_minus = jnp.maximum(1.0 - p, 1e-30)
+    log_total = jnp.sum(jnp.log(one_minus), axis=1, keepdims=True)
+    total = jnp.exp(log_total)  # (T², 1) = Π(1−p)
+
+    dl_dp = g * total / one_minus
+    dl_dsd2 = dl_dp * (-inv_sigma) * p * (1.0 - p)
+    dl_ddmin = jnp.where(inside, -dl_dsd2, dl_dsd2)
+
+    d0, d1, d2 = edges[0][4], edges[1][4], edges[2][4]
+    tol = 1e-4 * (1.0 + dmin)
+    sel = tuple((d_e <= dmin + tol).astype(jnp.float32) for d_e in (d0, d1, d2))
+    route = dl_ddmin / (sel[0] + sel[1] + sel[2])
+    acc = [jnp.zeros((1, k_pad), jnp.float32) for _ in range(6)]  # ax ay bx by cx cy
+    ends = ((0, 2), (2, 4), (4, 0))  # corner slots per edge: (A,B), (B,C), (C,A)
+    for e in range(3):
+        _, te, rxe, rye, _ = edges[e]
+        w = sel[e] * route
+        ga_x = jnp.sum(w * (-2.0) * (1.0 - te) * rxe, axis=0, keepdims=True)
+        ga_y = jnp.sum(w * (-2.0) * (1.0 - te) * rye, axis=0, keepdims=True)
+        gb_x = jnp.sum(w * (-2.0) * te * rxe, axis=0, keepdims=True)
+        gb_y = jnp.sum(w * (-2.0) * te * rye, axis=0, keepdims=True)
+        a_slot, b_slot = ends[e]
+        acc[a_slot] = acc[a_slot] + ga_x
+        acc[a_slot + 1] = acc[a_slot + 1] + ga_y
+        acc[b_slot] = acc[b_slot] + gb_x
+        acc[b_slot + 1] = acc[b_slot + 1] + gb_y
+    return acc
+
+
+def _coverage_terms(tri_ref, valid_ref, origin_ref, c, *, tile, k_pad, inv_sigma, blur_px2):
+    """Shared forward computation for one tile c of the chunk."""
+    t2 = tile * tile
+    px_x, px_y = _pixel_coords(origin_ref, c, t2, tile, k_pad)
+    rows = tuple(tri_ref[c, i : i + 1, :] for i in range(6))
+    return _coverage_rows(
+        px_x, px_y, rows, inv_sigma=inv_sigma, blur_px2=blur_px2,
+        valid_row=valid_ref[c, 0:1, :],
+    )
 
 
 def _fwd_kernel(origin_ref, tri_ref, valid_ref, out_ref, *, tile, k_pad, inv_sigma, blur_px2, chunk):
@@ -113,51 +158,21 @@ def _bwd_kernel(
 ):
     t2 = tile * tile
     for c in range(chunk):
+        # Gradient routing notes: the min-distance subgradient uses a relative
+        # tolerance band, NOT an exact argmin — exact float comparisons on
+        # d_e == dmin are fp-fragile (the compiler may re-fuse the d
+        # computations with different FMA contraction per use, so a near-tie
+        # pixel — degenerate "needle" faces tie along their whole length —
+        # can drop out of, or double into, the masks). Tied edges SPLIT the
+        # gradient evenly — the symmetric subgradient. See _corner_row_grads.
         p, sd2, dmin, inside, edges = _coverage_terms(
             tri_ref, valid_ref, origin_ref, c,
             tile=tile, k_pad=k_pad, inv_sigma=inv_sigma, blur_px2=blur_px2,
         )
-        one_minus = jnp.maximum(1.0 - p, 1e-30)
-        log_total = jnp.sum(jnp.log(one_minus), axis=1, keepdims=True)
-        total = jnp.exp(log_total)  # (T², 1) = Π(1−p)
-
         g = g_ref[c, :].reshape(t2, 1)  # dL/dα per pixel
-        # dα/dp_k = Π_{j≠k}(1−p_j) = total / (1−p_k)
-        dl_dp = g * total / one_minus
-        # dp/dsd2 = −inv_sigma · p(1−p)
-        dl_dsd2 = dl_dp * (-inv_sigma) * p * (1.0 - p)
-        dl_ddmin = jnp.where(inside, -dl_dsd2, dl_dsd2)
-
-        # Route the min-distance subgradient to the contributing edge(s).
-        # NOT an exact argmin: exact float comparisons on d_e == dmin are
-        # fp-fragile — the compiler may re-fuse the d computations with
-        # different FMA contraction per use, so a near-tie pixel (degenerate
-        # "needle" faces tie along their whole length) can drop out of, or
-        # double into, the masks. A relative tolerance band (≫ contraction
-        # noise, ≪ geometric scales) makes the comparisons reproducible, and
-        # tied edges SPLIT the gradient evenly — the symmetric subgradient.
-        d0, d1, d2 = edges[0][4], edges[1][4], edges[2][4]
-        tol = 1e-4 * (1.0 + dmin)
-        sel = tuple(
-            (d_e <= dmin + tol).astype(jnp.float32) for d_e in (d0, d1, d2)
+        acc = _corner_row_grads(
+            g, p, dmin, inside, edges, inv_sigma=inv_sigma, k_pad=k_pad
         )
-        route = dl_ddmin / (sel[0] + sel[1] + sel[2])
-        # Edge k endpoints within the (6, K) layout: edge0=(A,B), edge1=(B,C),
-        # edge2=(C,A); accumulate per-vertex grads.
-        acc = [jnp.zeros((1, k_pad), jnp.float32) for _ in range(6)]  # ax ay bx by cx cy
-        ends = ((0, 2), (2, 4), (4, 0))  # (a_slot, b_slot) pairs into acc pairs
-        for e in range(3):
-            _, te, rxe, rye, _ = edges[e]
-            w = sel[e] * route
-            ga_x = jnp.sum(w * (-2.0) * (1.0 - te) * rxe, axis=0, keepdims=True)
-            ga_y = jnp.sum(w * (-2.0) * (1.0 - te) * rye, axis=0, keepdims=True)
-            gb_x = jnp.sum(w * (-2.0) * te * rxe, axis=0, keepdims=True)
-            gb_y = jnp.sum(w * (-2.0) * te * rye, axis=0, keepdims=True)
-            a_slot, b_slot = ends[e]
-            acc[a_slot] = acc[a_slot] + ga_x
-            acc[a_slot + 1] = acc[a_slot + 1] + ga_y
-            acc[b_slot] = acc[b_slot] + gb_x
-            acc[b_slot + 1] = acc[b_slot + 1] + gb_y
         for s in range(6):
             dtri_ref[c, s, :] = acc[s][0, :]
 
