@@ -124,8 +124,33 @@ def run_optimize(
     acc = trainer.JRegLstsqAccumulator.zero(model.num_verts)
     accumulate = jax.jit(trainer.jreg_lstsq_accumulate)
 
+    from jrr_tpu.refine import losses as losses_lib
+
+    @jax.jit
+    def replay_vertices(params):
+        return losses_lib.forward_frame(model, params).vertices
+
     for shard_id, batch in enumerate(batches):
         if resume and manifest.is_done(shard_id):
+            # The lstsq accumulator is NOT checkpointed; rebuild this shard's
+            # contribution from its saved refined params (deterministic SMPL
+            # replay — identical statistics to the original pass). Without
+            # this, a fully-resumed run fits the regressor on an EMPTY
+            # accumulator and silently produces a zero (→ NaN after row
+            # normalization) regressor.
+            saved = manifest.read_shard(shard_id)
+            params = losses_lib.FrameParams(
+                pose6d=jnp.asarray(saved["pose6d"]),
+                orient6d=jnp.asarray(saved["orient6d"]),
+                betas=jnp.asarray(saved["betas"]),
+                cam_t=jnp.asarray(saved["cam_t"]),
+            )
+            acc = accumulate(
+                acc,
+                replay_vertices(params),
+                jnp.asarray(batch["gt_j3d"]),
+                jnp.asarray(saved["joints3d"][:, :1]),
+            )
             continue
         t0 = time.time()
         init, data = _batch_to_device_inputs(batch, spin_fn)

@@ -283,6 +283,11 @@ def jreg_lstsq_solve(
     Returns a (17, V) raw regressor.
     """
     v = acc.gram.shape[0]
+    if not isinstance(acc.count, jax.core.Tracer) and float(acc.count) == 0.0:
+        raise ValueError(
+            "jreg_lstsq_solve called with an empty accumulator (count=0) — "
+            "no batches were accumulated; a fit would return a zero regressor"
+        )
     # Normalize the quadratic by the frame count for scale-stable stepping.
     n = jnp.maximum(acc.count, 1.0)
     a = acc.gram / n + ridge * jnp.eye(v, dtype=acc.gram.dtype)

@@ -190,66 +190,51 @@ def _fused_bins_one(
     tile_id = jnp.where(pair_ok, ty_ * g + tx_, g * g).reshape(-1)
     # Sort key = 2·tile + margin-only flag: core candidates come first within
     # each tile, so capacity truncation sheds drift slack before coverage.
+    # Key and face id are PACKED into one int32 ((2·G²+1)·2 < 2¹² tile keys,
+    # F < 2¹⁴ faces ⇒ 26 bits): a single-array sort moves half the bytes of a
+    # key+payload sort, and the TPU sort is the dominant binning cost.
+    assert f < (1 << 14), "packed binning sort assumes < 16384 faces"
     key = tile_id * 2 + jnp.where(core.reshape(-1) & (tile_id < g * g), 0, 1)
     face_id = jnp.broadcast_to(
         jnp.arange(f, dtype=jnp.int32)[:, None], (f, cap * cap)
     ).reshape(-1)
+    packed = jax.lax.sort((key << 14) | face_id, is_stable=False)
 
-    keys, vals = jax.lax.sort((key, face_id), num_keys=1, is_stable=True)
     tiles = jnp.arange(g * g, dtype=jnp.int32)
-    start = jnp.searchsorted(keys, tiles * 2, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(keys, tiles * 2 + 1, side="right").astype(jnp.int32)
+    start = jnp.searchsorted(packed, (tiles * 2) << 14, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(packed, ((tiles * 2 + 2) << 14), side="left").astype(jnp.int32)
     count = end - start
 
     slots = start[:, None] + jnp.arange(k, dtype=jnp.int32)[None]  # (G², K)
-    sel_face = vals[jnp.minimum(slots, n - 1)]
+    sel_face = packed[jnp.minimum(slots, n - 1)] & ((1 << 14) - 1)
     sel_valid = jnp.arange(k)[None, :] < count[:, None]
     sel_face = jnp.where(sel_valid, sel_face, 0)
 
     # --- page assignment -----------------------------------------------------
     vid = faces_pos[sel_face]  # (G², K, 3) permuted-table positions
     page = vid >> 7
-    big = jnp.int32(2**30)
-    page_masked = jnp.where(sel_valid[..., None], page, big).reshape(-1, 3 * k)
-    page_sorted = jnp.sort(page_masked, axis=-1)  # (G², 3K)
-    is_real = page_sorted < big
-    newflag = is_real & jnp.concatenate(
-        [
-            jnp.ones_like(is_real[:, :1]),
-            page_sorted[:, 1:] != page_sorted[:, :-1],
-        ],
-        axis=1,
-    )
-    n_distinct = jnp.sum(newflag.astype(jnp.int32), axis=1)  # (G²,)
+
+    # Per-tile page reference counts via one-hot reduction (the page id space
+    # is tiny — ≤ PG ≤ 64 for SMPL — so counting beats the former
+    # sort+segment-scan machinery by an order of magnitude on TPU, where
+    # sorts are the expensive primitive).
+    pg_dim = _round_up(dump + 1, 8)
+    onehot = (
+        page.reshape(-1, 3 * k, 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, pg_dim), 2)
+    ) & sel_valid[..., None].repeat(3, axis=-1).reshape(-1, 3 * k, 1)
+    counts = jnp.sum(onehot.astype(jnp.float32), axis=1)  # (G², PGd)
+    n_distinct = jnp.sum((counts > 0).astype(jnp.int32), axis=1)
 
     # Keep the P̂−1 pages with the MOST corner references (not first-seen):
     # when a tile needs more pages than fit, only minority pages drop, which
     # keeps the dropped-slot count (and the silhouette error) minimal.
-    pos = jax.lax.broadcasted_iota(jnp.int32, page_sorted.shape, 1)
-    first_pos = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(newflag, pos, -1), axis=1
-    )
-    # last position of each page segment: propagate segment-end positions
-    # backward (an element is a segment end iff its successor starts one).
-    nxt = jnp.concatenate(
-        [newflag[:, 1:], jnp.ones_like(newflag[:, :1])], axis=1
-    )
-    seg_end = jax.lax.associative_scan(
-        jnp.minimum,
-        jnp.where(nxt, pos, big),
-        axis=1,
-        reverse=True,
-    )
-    seg_count = jnp.where(is_real, seg_end - first_pos + 1, 0)
-
     usable = p_hat - 1  # slot P̂−1 is reserved for the dump page
-    head_key = jnp.where(newflag, seg_count, -1)  # only segment heads compete
-    top_k = min(usable, head_key.shape[1])
-    top_counts, top_pos = jax.lax.top_k(head_key, top_k)  # (G², ≤P̂−1)
-    pages_sel = jnp.take_along_axis(page_sorted, top_pos, axis=1)
-    pages_sel = jnp.where(top_counts > 0, pages_sel, dump)
+    k_top = min(usable, pg_dim)
+    top_counts, top_pages = jax.lax.top_k(counts, k_top)  # (G², ≤P̂−1)
+    pages_sel = jnp.where(top_counts > 0, top_pages.astype(jnp.int32), dump)
     pages = jnp.concatenate(
-        [pages_sel, jnp.full((pages_sel.shape[0], p_hat - top_k), dump, jnp.int32)],
+        [pages_sel, jnp.full((pages_sel.shape[0], p_hat - k_top), dump, jnp.int32)],
         axis=1,
     )  # (G², P̂)
 

@@ -11,6 +11,7 @@ from jrr_tpu.config import PipelineConfig, RefinerConfig, DataConfig
 from jrr_tpu.data import fixtures, h36m
 from jrr_tpu.models import smpl as smpl_mod, spin as spin_lib
 from jrr_tpu.pipeline import _batch_to_device_inputs, run_optimize
+from jrr_tpu.refine import trainer
 
 
 def test_spin_init_path(tmp_path):
@@ -62,3 +63,13 @@ def test_run_optimize_resume_skips_shards(tmp_path):
     np.testing.assert_allclose(
         np.asarray(state2.j_reg_raw), np.asarray(state1.j_reg_raw), atol=1e-6
     )
+    # The lstsq accumulator is REBUILT from the saved shards on resume (it is
+    # not checkpointed); a resumed run must fit the same regressor, not a
+    # zero one (regression: NaN after row normalization).
+    assert float(acc2.count) == float(acc1.count) == 4.0
+    np.testing.assert_allclose(np.asarray(acc2.rhs), np.asarray(acc1.rhs), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc2.gram), np.asarray(acc1.gram), rtol=1e-5, atol=1e-6)
+    # (The solved regressors are NOT compared: with 4 frames the quadratic is
+    # wildly under-determined and the solve amplifies 1e-5 gram differences.)
+    w2 = trainer.jreg_lstsq_solve(acc2)
+    assert np.isfinite(np.asarray(w2)).all() and float(jnp.abs(w2).max()) > 0.0
