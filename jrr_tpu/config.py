@@ -44,8 +44,12 @@ class SilhouetteConfig:
     # step). Vertices drift by fractions of a pixel per Adam step, so with
     # `bin_margin_px` of slack the lists stay covering — binning cost
     # amortizes away.
-    rebin_interval: int = 10
-    bin_margin_px: float = 4.0
+    # Defaults set by a TPU quality probe (BASELINE.md round-2 table): at
+    # interval 20 / margin 6 the final silhouette loss matches per-step
+    # binning within 0.3% while binning cost drops 2×; margin-only candidates
+    # sort behind intersecting ones, so extra slack never evicts coverage.
+    rebin_interval: int = 20
+    bin_margin_px: float = 6.0
     # Max tiles per axis a face's padded bbox may span in sort-based binning.
     max_tiles_per_face: int = 4
     # Fused page-gather rasterizer: vertex pages per tile (incl. dump slot).
