@@ -54,7 +54,7 @@ class RasterizerSpec(NamedTuple):
     backend: str = "auto"
     # Tiles per Pallas grid step; must divide B·G² and be a multiple of 8
     # (TPU sublane constraint on the origin/alpha blocks).
-    pallas_chunk: int = 8
+    pallas_chunk: int = 56
     # Sort-based binning: max tiles per axis a face's padded bbox may span
     # (cap·tile_size pixels); larger faces lose coverage beyond the cap.
     max_tiles_per_face: int = 4

@@ -494,7 +494,13 @@ def _fused_bwd_kernel(
 
 
 def _pick_chunk(g2: int, want: int) -> int:
+    """Largest tile-chunk ≤ want that divides G² and keeps the (chunk, P̂)
+    SMEM block sublane-aligned (chunk % 8 == 0), falling back to any divisor
+    for tiny grids. Bigger chunks amortize grid-step overhead: 8 → 56 was
+    measured at −8% on the fwd+bwd pair at 224² (BASELINE.md round 2)."""
     chunk = min(want, g2)
+    while chunk > 8 and (g2 % chunk != 0 or chunk % 8 != 0):
+        chunk -= 1
     while g2 % chunk != 0:
         chunk -= 1
     return chunk
