@@ -200,15 +200,32 @@ def _fused_bins_one(
     ).reshape(-1)
     packed = jax.lax.sort((key << 14) | face_id, is_stable=False)
 
-    tiles = jnp.arange(g * g, dtype=jnp.int32)
-    start = jnp.searchsorted(packed, (tiles * 2) << 14, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(packed, ((tiles * 2 + 2) << 14), side="left").astype(jnp.int32)
+    # ONE searchsorted over the g²+1 core boundaries: tile t's candidate run
+    # (core + its trailing margin keys) is [bounds[t], bounds[t+1]).
+    tiles1 = jnp.arange(g * g + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(packed, (tiles1 * 2) << 14, side="left").astype(jnp.int32)
+    start, end = bounds[:-1], bounds[1:]
     count = end - start
 
-    slots = start[:, None] + jnp.arange(k, dtype=jnp.int32)[None]  # (G², K)
-    sel_face = packed[jnp.minimum(slots, n - 1)] & ((1 << 14) - 1)
+    # Per-tile slot windows are CONTIGUOUS runs of the sorted array. A plain
+    # (G², K) advanced-index gather moves a full (8,128) VREG tile per SCALAR
+    # on TPU (measured 1.6 ms/frame); an explicit lax.gather of K-wide slices
+    # moves K contiguous elements per tile instead. A K-entry tail pad keeps
+    # every window in bounds.
+    packed_pad = jnp.concatenate([packed, jnp.zeros((k,), packed.dtype)])
+    sel_raw = jax.lax.gather(
+        packed_pad,
+        start[:, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+        ),
+        slice_sizes=(k,),
+        # The K-entry tail pad guarantees start+K ≤ len(packed_pad) (start ≤ n
+        # by construction), so no clamping path is needed.
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # (G², K)
     sel_valid = jnp.arange(k)[None, :] < count[:, None]
-    sel_face = jnp.where(sel_valid, sel_face, 0)
+    sel_face = jnp.where(sel_valid, sel_raw & ((1 << 14) - 1), 0)
 
     # --- page assignment -----------------------------------------------------
     vid = faces_pos[sel_face]  # (G², K, 3) permuted-table positions
