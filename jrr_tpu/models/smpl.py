@@ -424,11 +424,20 @@ def synthetic_smpl_model(
     # "faces" no real mesh has — silently exceeding the rasterizer's
     # tiles-per-face span cap and misrepresenting the true per-tile workload.
     anchors = rng.integers(0, num_verts, size=num_faces)
-    d2 = np.sum(
-        (v_template[anchors, None, :] - v_template[None, :, :]) ** 2, axis=-1
-    )  # (num_faces, V)
-    d2[np.arange(num_faces), anchors] = np.inf
-    nn = np.argsort(d2, axis=1)[:, :8]  # 8 nearest neighbors per anchor
+    # 8-NN per anchor, computed in anchor chunks with argpartition: the naive
+    # (num_faces, V, 3) broadcast materializes ~1.1 GB at full size and
+    # full-row argsorts when only the top-8 are needed.
+    nn = np.empty((num_faces, 8), dtype=np.int64)
+    for lo in range(0, num_faces, 1024):
+        hi = min(lo + 1024, num_faces)
+        d2 = np.sum(
+            (v_template[anchors[lo:hi], None, :] - v_template[None, :, :]) ** 2,
+            axis=-1,
+        )  # (chunk, V)
+        d2[np.arange(hi - lo), anchors[lo:hi]] = np.inf
+        part = np.argpartition(d2, 8, axis=1)[:, :8]
+        order = np.argsort(np.take_along_axis(d2, part, axis=1), axis=1)
+        nn[lo:hi] = np.take_along_axis(part, order, axis=1)
     pick = rng.permuted(np.tile(np.arange(8), (num_faces, 1)), axis=1)[:, :2]
     faces = np.stack(
         [anchors, np.take_along_axis(nn, pick[:, :1], 1)[:, 0],

@@ -33,12 +33,17 @@ from jrr_tpu.models import spin as spin_lib
 
 
 class TemporalEncoder(nn.Module):
-    """VIBE's TemporalEncoder semantics: stacked GRU → linear → +residual.
+    """VIBE's TemporalEncoder semantics: stacked GRU → ReLU → linear →
+    +residual.
 
     (B, T, D) features → (B, T, D). Torch's multi-layer `nn.GRU(n_layers=k)`
     is the chain of k single-layer GRUs, which is how it is expressed here
     (one `nn.RNN(GRUCell)` per layer; a reversed twin per layer when
     bidirectional, concatenated feature-wise like torch's packed layout).
+    Matching the published VIBE TemporalEncoder exactly: when the linear
+    projection exists, a ReLU is applied to the GRU output FIRST, and the
+    projection exists whenever `add_linear` OR `bidirectional` (VIBE always
+    creates it for bidirectional GRUs to map 2H back to the feature size).
     """
 
     hidden_size: int = 1024
@@ -63,8 +68,8 @@ class TemporalEncoder(nn.Module):
                 h = jnp.concatenate([fwd, bwd], axis=-1)
             else:
                 h = fwd
-        if self.add_linear:
-            h = nn.Dense(self.out_size, name="linear")(h)
+        if self.add_linear or self.bidirectional:
+            h = nn.Dense(self.out_size, name="linear")(nn.relu(h))
         if self.use_residual and h.shape[-1] == feats.shape[-1]:
             h = h + feats
         return h
@@ -166,8 +171,10 @@ def convert_torch_vibe_checkpoint(
     this dict at scripts/test.py:161-166). The ResNet backbone is NOT in the
     gen_state_dict (the reference's VIBE_Demo pulls it from the SPIN
     pretrained checkpoint); pass `backbone_variables` from
-    `convert_torch_spin_checkpoint` to splice it in, else the backbone is
-    zero-initialized and MUST be replaced before use.
+    `convert_torch_spin_checkpoint` to splice it in. Without it the returned
+    tree has NO backbone entries and cannot drive TemporalPoseModel.apply —
+    it is only useful for encoder/head-level work until a backbone is
+    spliced in.
     """
     sd = {k: np.asarray(v) for k, v in gen_state_dict.items()}
 

@@ -126,9 +126,11 @@ def run_optimize(
 
     from jrr_tpu.refine import losses as losses_lib
 
-    @jax.jit
-    def replay_vertices(params):
-        return losses_lib.forward_frame(model, params).vertices
+    # Model passed as an argument, NOT closure-captured: axon lowering fetches
+    # closure-captured device arrays back through the tunnel (CLAUDE.md).
+    replay_vertices = jax.jit(
+        lambda m, params: losses_lib.forward_frame(m, params).vertices
+    )
 
     for shard_id, batch in enumerate(batches):
         if resume and manifest.is_done(shard_id):
@@ -139,6 +141,19 @@ def run_optimize(
             # accumulator and silently produces a zero (→ NaN after row
             # normalization) regressor.
             saved = manifest.read_shard(shard_id)
+            # Shards pair with batches purely by position, so a resume under
+            # a different shuffle/seed/batch-size would silently cross-pair
+            # refined vertices with the wrong frames' GT. The shard stores
+            # its gt_j3d; any mismatch is a hard error.
+            if "gt_j3d" in saved and not np.allclose(
+                saved["gt_j3d"], batch["gt_j3d"], atol=1e-5
+            ):
+                raise ValueError(
+                    f"shard {shard_id}: saved gt_j3d does not match this "
+                    "run's batch — the data order changed since the manifest "
+                    "was written (different seed/batch-size/split/epochs?). "
+                    "Clear the output dir or restore the original config."
+                )
             params = losses_lib.FrameParams(
                 pose6d=jnp.asarray(saved["pose6d"]),
                 orient6d=jnp.asarray(saved["orient6d"]),
@@ -147,7 +162,7 @@ def run_optimize(
             )
             acc = accumulate(
                 acc,
-                replay_vertices(params),
+                replay_vertices(model, params),
                 jnp.asarray(batch["gt_j3d"]),
                 jnp.asarray(saved["joints3d"][:, :1]),
             )
@@ -168,6 +183,8 @@ def run_optimize(
                 "betas": np.asarray(result.params.betas),
                 "cam_t": np.asarray(result.params.cam_t),
                 "joints3d": np.asarray(result.joints3d),
+                # Frame identity for resume-time pairing validation.
+                "gt_j3d": np.asarray(batch["gt_j3d"]),
             },
         )
         if logger is not None:

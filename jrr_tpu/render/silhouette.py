@@ -450,10 +450,11 @@ def render_silhouette_batch_pallas(
     blur_px2 = spec.blur_radius / px_to_ndc2 if spec.blur_radius > 0 else 0.0
 
     if jax.default_backend() == "tpu":
-        num_tiles = b * g * g
-        chunk = spec.pallas_chunk
-        while num_tiles % chunk != 0:
-            chunk //= 2
+        from jrr_tpu.render.silhouette_fused import _pick_chunk
+
+        # Shared picker: keeps the chunk an 8-divisible divisor (TPU sublane
+        # constraint on the origin/alpha blocks) instead of naive halving.
+        chunk = _pick_chunk(b * g * g, spec.pallas_chunk)
         alphas = sp.tiles_alpha_pallas(
             flat(origin), flat(tri), flat(valid),
             t, inv_sigma, blur_px2, chunk, False,

@@ -182,7 +182,6 @@ def _fused_bins_one(
         & (ty_ < g)
         & (tx_ < g)
     )
-    n = f * cap * cap
     core = (
         (ty_ >= tmin0[:, None, None, 1]) & (ty_ <= tmax0[:, None, None, 1])
         & (tx_ >= tmin0[:, None, None, 0]) & (tx_ <= tmax0[:, None, None, 0])
@@ -267,14 +266,12 @@ def _fused_bins_one(
     corner = jnp.arange(3, dtype=jnp.int32)[None, None, :]
     idx = jnp.where(slot_ok[..., None], idx, (p_hat - 1) * _LANES + corner)
     idx = jnp.transpose(idx, (0, 2, 1))  # (G², 3, K)
-    idx = jnp.pad(
-        idx, ((0, 0), (0, 0), (0, k_pad - k)),
-        constant_values=(p_hat - 1) * _LANES,
-    )
-    # Padded lanes of each corner row must still form the dump triangle.
     if k_pad > k:
-        pad_fill = (p_hat - 1) * _LANES + corner.reshape(3, 1)
-        idx = idx.at[:, :, k:].set(jnp.broadcast_to(pad_fill, (idx.shape[0], 3, k_pad - k)))
+        # Padded lanes of each corner row must still form the dump triangle.
+        pad_fill = (p_hat - 1) * _LANES + jnp.arange(3, dtype=jnp.int32).reshape(3, 1)
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(pad_fill, (idx.shape[0], 3, k_pad - k))], axis=2
+        )
 
     tile_y = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0).reshape(-1)
     tile_x = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1).reshape(-1)

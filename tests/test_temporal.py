@@ -87,7 +87,9 @@ def test_vibe_checkpoint_converter_parity():
     x = np.random.default_rng(2).normal(size=(B, T, D)).astype(np.float32)
     with torch.no_grad():
         y, _ = gru(torch.from_numpy(x))
-        y = linear(y) + torch.from_numpy(x)  # VIBE add_linear + use_residual
+        # VIBE TemporalEncoder.forward: ReLU on the GRU output, then the
+        # linear, then the residual (mkocabas/VIBE lib/models/vibe.py).
+        y = linear(torch.relu(y)) + torch.from_numpy(x)
         flat = y.reshape(B * T, D)
         pose = torch.from_numpy(np.repeat(sd["regressor.init_pose"], B * T, 0))
         shape = torch.from_numpy(np.repeat(sd["regressor.init_shape"], B * T, 0))
@@ -137,7 +139,7 @@ def test_vibe_converter_bidirectional_parity():
     x = np.random.default_rng(4).normal(size=(B, T, D)).astype(np.float32)
     with torch.no_grad():
         y, _ = gru(torch.from_numpy(x))
-        y = linear(y) + torch.from_numpy(x)
+        y = linear(torch.relu(y)) + torch.from_numpy(x)
 
     enc = temporal.TemporalEncoder(hidden_size=H, n_layers=2, bidirectional=True, out_size=D)
     y_flax = enc.apply({"params": variables["params"]["encoder"]}, jnp.asarray(x))
