@@ -123,8 +123,14 @@ def silhouette_loss(
     if backend == "fused":
         from jrr_tpu.render import silhouette_fused as sf
 
-        tiles = sf.silhouette_tiles_fused(vertices, model, cam_t, spec, bins=bins)
         mask_tiles = sf.image_to_tiles(mask, spec.tile_size)
+        if jax.default_backend() == "tpu":
+            # One-pass kernel: loss AND gradient tables in a single sweep of
+            # the coverage math (value_and_grad costs one launch, not two).
+            return sf.silhouette_sq_err_fused(
+                vertices, model, cam_t, mask_tiles, spec, bins=bins
+            )
+        tiles = sf.silhouette_tiles_fused(vertices, model, cam_t, spec, bins=bins)
         return jnp.mean((tiles - mask_tiles) ** 2, axis=(-1, -2))  # (B,)
     render = sil_lib.render_mesh_silhouette(
         vertices, model.faces, cam_t, spec._replace(backend=backend), bins=bins

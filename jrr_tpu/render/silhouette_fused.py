@@ -416,6 +416,69 @@ def _split_hi_lo(v):
     return hi, v - hi
 
 
+def _route_grads_to_pages(
+    g, p, dmin, inside, edges, lanes, pss, pages_ref, dtx_ref, dty_ref, c,
+    *, inv_sigma, k_pad, p_hat, dump_page, total=None,
+):
+    """Per-pixel dL/dα → corner grads → page-row accumulation (shared by the
+    backward and the one-pass loss+grad kernels).
+
+    Scatters all 3 corners × 2 coords in ONE matmul pair:
+      dws[s, l] = Σ_{c,k} [ps_{c,k} == s_page]·[lane_{c,k} == l]·d_{c,k}
+    = D (2P̂, 3K) @ M (3K, 128), M = per-corner lane one-hots stacked along
+    the contraction axis. MXU inputs are bf16, so the values are split
+    f32 = hi + lo into two exact bf16·{0,1} products (error ~2⁻¹⁷ relative).
+    """
+    acc = sp._corner_row_grads(
+        g, p, dmin, inside, edges, inv_sigma=inv_sigma, k_pad=k_pad, total=total
+    )  # [dax, day, dbx, dby, dcx, dcy], each (1, K)
+
+    lanes3 = jnp.concatenate(
+        lanes + [jnp.zeros((5, k_pad), jnp.int32)], axis=0
+    )  # (8, K)
+    lanes_t = jnp.transpose(lanes3)  # (K, 8): one relayout per tile
+    m = jnp.concatenate(
+        [
+            (
+                lanes_t[:, corner : corner + 1]
+                == jax.lax.broadcasted_iota(jnp.int32, (k_pad, _LANES), 1)
+            ).astype(jnp.bfloat16)
+            for corner in range(3)
+        ],
+        axis=0,
+    )  # (3K, 128)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (p_hat, k_pad), 0)
+    dx_blocks, dy_blocks = [], []
+    for corner in range(3):
+        sel = sub_iota == pss[corner]
+        dx_blocks.append(
+            jnp.where(sel, jnp.broadcast_to(acc[2 * corner], (p_hat, k_pad)), 0.0)
+        )
+        dy_blocks.append(
+            jnp.where(sel, jnp.broadcast_to(acc[2 * corner + 1], (p_hat, k_pad)), 0.0)
+        )
+    d_all = jnp.concatenate(
+        [jnp.concatenate(dx_blocks, axis=1), jnp.concatenate(dy_blocks, axis=1)],
+        axis=0,
+    )  # (2P̂, 3K)
+    hi, lo = _split_hi_lo(d_all)
+    dws = jnp.dot(
+        hi.astype(jnp.bfloat16), m, preferred_element_type=jnp.float32
+    ) + jnp.dot(
+        lo.astype(jnp.bfloat16), m, preferred_element_type=jnp.float32
+    )  # (2P̂, 128)
+
+    for ph in range(p_hat):
+        @pl.when(pages_ref[c, ph] != dump_page)
+        def _():
+            row = dtx_ref[pl.ds(pages_ref[c, ph], 1), :]
+            dtx_ref[pl.ds(pages_ref[c, ph], 1), :] = row + dws[ph : ph + 1, :]
+            row2 = dty_ref[pl.ds(pages_ref[c, ph], 1), :]
+            dty_ref[pl.ds(pages_ref[c, ph], 1), :] = (
+                row2 + dws[p_hat + ph : p_hat + ph + 1, :]
+            )
+
+
 def _fused_bwd_kernel(
     pages_ref, origin_ref, idx_ref, tx_ref, ty_ref, g_ref, dtx_ref, dty_ref,
     *, tile, k_pad, inv_sigma, blur_px2, chunk, p_hat, steps_per_frame, dump_page,
@@ -451,60 +514,11 @@ def _fused_bwd_kernel(
                 px_x, px_y, tuple(rows), inv_sigma=inv_sigma, blur_px2=blur_px2
             )
             g = g_ref[c, :].reshape(t2, 1)
-            acc = sp._corner_row_grads(
-                g, p, dmin, inside, edges, inv_sigma=inv_sigma, k_pad=k_pad
-            )  # [dax, day, dbx, dby, dcx, dcy], each (1, K)
-
-            # Scatter all 3 corners × 2 coords in ONE matmul pair:
-            #   dws[s, l] = Σ_{c,k} [ps_{c,k} == s_page]·[lane_{c,k} == l]·d_{c,k}
-            # = D (2P̂, 3K) @ M (3K, 128), M = per-corner lane one-hots stacked
-            # along the contraction axis. MXU inputs are bf16, so the values
-            # are split f32 = hi + lo into two exact bf16·{0,1} products
-            # (error ~2⁻¹⁷ relative).
-            lanes3 = jnp.concatenate(
-                lanes + [jnp.zeros((5, k_pad), jnp.int32)], axis=0
-            )  # (8, K)
-            lanes_t = jnp.transpose(lanes3)  # (K, 8): one relayout per tile
-            m = jnp.concatenate(
-                [
-                    (
-                        lanes_t[:, corner : corner + 1]
-                        == jax.lax.broadcasted_iota(jnp.int32, (k_pad, _LANES), 1)
-                    ).astype(jnp.bfloat16)
-                    for corner in range(3)
-                ],
-                axis=0,
-            )  # (3K, 128)
-            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (p_hat, k_pad), 0)
-            dx_blocks, dy_blocks = [], []
-            for corner in range(3):
-                sel = sub_iota == pss[corner]
-                dx_blocks.append(
-                    jnp.where(sel, jnp.broadcast_to(acc[2 * corner], (p_hat, k_pad)), 0.0)
-                )
-                dy_blocks.append(
-                    jnp.where(sel, jnp.broadcast_to(acc[2 * corner + 1], (p_hat, k_pad)), 0.0)
-                )
-            d_all = jnp.concatenate(
-                [jnp.concatenate(dx_blocks, axis=1), jnp.concatenate(dy_blocks, axis=1)],
-                axis=0,
-            )  # (2P̂, 3K)
-            hi, lo = _split_hi_lo(d_all)
-            dws = jnp.dot(
-                hi.astype(jnp.bfloat16), m, preferred_element_type=jnp.float32
-            ) + jnp.dot(
-                lo.astype(jnp.bfloat16), m, preferred_element_type=jnp.float32
-            )  # (2P̂, 128)
-
-            for ph in range(p_hat):
-                @pl.when(pages_ref[c, ph] != dump_page)
-                def _():
-                    row = dtx_ref[pl.ds(pages_ref[c, ph], 1), :]
-                    dtx_ref[pl.ds(pages_ref[c, ph], 1), :] = row + dws[ph : ph + 1, :]
-                    row2 = dty_ref[pl.ds(pages_ref[c, ph], 1), :]
-                    dty_ref[pl.ds(pages_ref[c, ph], 1), :] = (
-                        row2 + dws[p_hat + ph : p_hat + ph + 1, :]
-                    )
+            _route_grads_to_pages(
+                g, p, dmin, inside, edges, lanes, pss, pages_ref, dtx_ref,
+                dty_ref, c, inv_sigma=inv_sigma, k_pad=k_pad, p_hat=p_hat,
+                dump_page=dump_page,
+            )
 
 
 def _pick_chunk(g2: int, want: int) -> int:
@@ -638,6 +652,209 @@ def _fused_bwd(tile, inv_sigma, blur_px2, dump_page, chunk, interpret, res, g):
 
 
 fused_tiles_alpha.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# One-pass MSE loss + gradient kernel
+# ---------------------------------------------------------------------------
+#
+# `value_and_grad` of the silhouette MSE through `fused_tiles_alpha` runs the
+# coverage math twice: once in the forward kernel and once (recomputed) in the
+# backward kernel. The loss itself is local — per pixel, g = dL/dα is just
+# 2·(α − mask) — so a single kernel can produce BOTH the per-frame squared
+# error and the full gradient tables in one pass over the coverage math. The
+# custom VJP stashes (dtx, dty) as residuals and its backward is a pure
+# cotangent scale; one kernel launch serves value_and_grad entirely.
+
+
+def _fused_lossgrad_kernel(
+    pages_ref, origin_ref, idx_ref, tx_ref, ty_ref, mask_ref,
+    err_ref, dtx_ref, dty_ref,
+    *, tile, k_pad, inv_sigma, blur_px2, chunk, p_hat, steps_per_frame, dump_page,
+):
+    t2 = tile * tile
+
+    @pl.when(pl.program_id(0) % steps_per_frame == 0)
+    def _():
+        dtx_ref[...] = jnp.zeros_like(dtx_ref)
+        dty_ref[...] = jnp.zeros_like(dty_ref)
+
+    # err_ref is a per-grid-step (1, 128) streamed block: occupied tiles'
+    # squared errors land in lane `c`; empty tiles are skipped entirely (their
+    # α≡0 error, Σmask², is added OUTSIDE the kernel from the pages table —
+    # keeping the empty-tile fast path was measured to matter).
+    err_ref[...] = jnp.zeros_like(err_ref)
+
+    for c in range(chunk):
+        is_empty = pages_ref[c, 0] == dump_page
+        mask_row = mask_ref[c, :].reshape(t2, 1)
+
+        @pl.when(jnp.logical_not(is_empty))
+        def _():
+            ws_x, ws_y = _load_workspaces(tx_ref, ty_ref, pages_ref, c, p_hat=p_hat)
+            rows = []
+            lanes = []
+            pss = []
+            for corner in range(3):
+                idx_row = idx_ref[c, corner : corner + 1, :]
+                lanes.append(idx_row & 127)
+                pss.append(idx_row >> 7)
+                x_row, y_row = _gather_corner_rows(
+                    ws_x, ws_y, idx_row, p_hat=p_hat, k_pad=k_pad
+                )
+                rows.extend([x_row, y_row])
+            px_x, px_y = sp._pixel_coords(origin_ref, c, t2, tile, k_pad)
+            p, sd2, dmin, inside, edges = sp._coverage_rows(
+                px_x, px_y, tuple(rows), inv_sigma=inv_sigma, blur_px2=blur_px2
+            )
+            one_minus = jnp.maximum(1.0 - p, 1e-30)
+            total = jnp.exp(jnp.sum(jnp.log(one_minus), axis=1, keepdims=True))
+            alpha = 1.0 - total  # (T², 1)
+            diff = alpha - mask_row
+            sub = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+            err_ref[...] = err_ref[...] + jnp.where(
+                (sub == 0) & (lane == c), jnp.sum(diff * diff), 0.0
+            )
+            _route_grads_to_pages(
+                2.0 * diff, p, dmin, inside, edges, lanes, pss, pages_ref,
+                dtx_ref, dty_ref, c, inv_sigma=inv_sigma, k_pad=k_pad,
+                p_hat=p_hat, dump_page=dump_page, total=total,
+            )
+
+
+def _fused_lossgrad_impl(
+    tx, ty, pages, idx, origin, mask_tiles, tile, inv_sigma, blur_px2,
+    dump_page, chunk, interpret,
+):
+    b, pg, _ = tx.shape
+    g2 = pages.shape[1]
+    p_hat = pages.shape[2]
+    k_pad = idx.shape[3]
+    t2 = tile * tile
+    # ≤128: each chunk-tile's error lands in its own lane of the err block.
+    chunk = _pick_chunk(g2, min(chunk, _LANES))
+    grid = (b * g2 // chunk,)
+    steps_per_frame = g2 // chunk
+    kernel = functools.partial(
+        _fused_lossgrad_kernel, tile=tile, k_pad=k_pad, inv_sigma=inv_sigma,
+        blur_px2=blur_px2, chunk=chunk, p_hat=p_hat,
+        steps_per_frame=steps_per_frame, dump_page=dump_page,
+    )
+    flat = lambda x: x.reshape((b * g2,) + x.shape[2:])
+    frame_block = lambda shape: pl.BlockSpec(
+        (None,) + shape, lambda i: (i // steps_per_frame,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    err, dtx, dty = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((chunk, p_hat), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, 3, k_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            frame_block((pg, _LANES)),
+            frame_block((pg, _LANES)),
+            pl.BlockSpec((chunk, t2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (None, 8, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            frame_block((pg, _LANES)),
+            frame_block((pg, _LANES)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * g2 // chunk, 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, pg, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, pg, _LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )(flat(pages), flat(origin), flat(idx), tx, ty, mask_tiles.reshape(b * g2, t2))
+    # Occupied-tile errors from the streamed lanes + empty-tile mask mass
+    # (α≡0 there) computed vectorized from the pages table.
+    err_occ = jnp.sum(err[:, 0, :].reshape(b, -1), axis=1)
+    empty = pages[:, :, 0] == dump_page  # (B, G²)
+    err_empty = jnp.sum(
+        jnp.where(empty, jnp.sum(mask_tiles * mask_tiles, axis=-1), 0.0), axis=1
+    )
+    return err_occ + err_empty, dtx, dty
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def fused_sq_err(
+    tx, ty, pages, idx, origin, mask_tiles,
+    tile, inv_sigma, blur_px2, dump_page, chunk=56, interpret=False,
+):
+    """Per-frame Σ(α − mask)² over all pixels, one kernel pass (B,)."""
+    err, _, _ = _fused_lossgrad_impl(
+        tx, ty, pages, idx, origin, mask_tiles, tile, inv_sigma, blur_px2,
+        dump_page, chunk, interpret,
+    )
+    return err
+
+
+def _fused_sq_err_fwd(tx, ty, pages, idx, origin, mask_tiles, tile, inv_sigma,
+                      blur_px2, dump_page, chunk, interpret):
+    err, dtx, dty = _fused_lossgrad_impl(
+        tx, ty, pages, idx, origin, mask_tiles, tile, inv_sigma, blur_px2,
+        dump_page, chunk, interpret,
+    )
+    return err, (dtx, dty, pages, idx, origin, mask_tiles)
+
+
+def _fused_sq_err_bwd(tile, inv_sigma, blur_px2, dump_page, chunk, interpret, res, g):
+    dtx, dty, pages, idx, origin, mask_tiles = res
+    scale = g[:, None, None]
+    zero_i = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    # Mask cotangent is zero by design: the mask is ground-truth supervision,
+    # never an optimization variable in this pipeline.
+    return (
+        scale * dtx,
+        scale * dty,
+        zero_i(pages),
+        zero_i(idx),
+        jnp.zeros_like(origin),
+        jnp.zeros_like(mask_tiles),
+    )
+
+
+fused_sq_err.defvjp(_fused_sq_err_fwd, _fused_sq_err_bwd)
+
+
+def silhouette_sq_err_fused(
+    vertices_smpl: jax.Array,
+    model,
+    cam_t: jax.Array,
+    mask_tiles: jax.Array,
+    spec,
+    bins: Optional[FusedBins] = None,
+) -> jax.Array:
+    """Per-frame MEAN squared silhouette error (B,), one kernel pass on TPU.
+
+    Semantically identical to
+    `mean((silhouette_tiles_fused(...) − mask_tiles)², axis=(-1,-2))` but the
+    coverage math runs ONCE per value_and_grad instead of twice (the loss is
+    computed in-kernel along with the gradient tables).
+    """
+    if bins is None:
+        bins = compute_fused_bins(vertices_smpl, model, cam_t, spec)
+    verts_screen = camera_lib.project_points_screen(
+        vertices_smpl, cam_t, spec.image_size, spec.focal_length
+    )
+    perm = model.vertex_perm
+    if perm is None:
+        perm = jnp.arange(model.num_verts, dtype=jnp.int32)
+    tx, ty = build_tables(verts_screen, perm)
+    px_to_ndc2 = (2.0 / spec.image_size) ** 2
+    inv_sigma = px_to_ndc2 / spec.sigma
+    blur_px2 = spec.blur_radius / px_to_ndc2 if spec.blur_radius > 0 else 0.0
+    err = fused_sq_err(
+        tx, ty, bins.pages, bins.idx, bins.origin, mask_tiles,
+        spec.tile_size, inv_sigma, blur_px2, dump_page_id(model.num_verts),
+        spec.pallas_chunk, False,
+    )
+    return err / float(spec.image_size * spec.image_size)
 
 
 # ---------------------------------------------------------------------------

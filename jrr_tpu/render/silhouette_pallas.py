@@ -92,16 +92,19 @@ def _coverage_rows(px_x, px_y, rows, *, inv_sigma, blur_px2, valid_row=None):
     return p, sd2, dmin, inside, edges
 
 
-def _corner_row_grads(g, p, dmin, inside, edges, *, inv_sigma, k_pad):
+def _corner_row_grads(g, p, dmin, inside, edges, *, inv_sigma, k_pad, total=None):
     """dL/d(ax, ay, bx, by, cx, cy) rows (1, K) given dL/dα per pixel.
 
     g: (T², 1). Routes the min-distance subgradient with the tolerance-band
     symmetric split (see `_bwd_kernel` docstring for why exact argmin is
-    fp-fragile here).
+    fp-fragile here). Pass `total` = Π(1−p) (T², 1) when the caller already
+    computed the union product (the one-pass loss+grad kernel) to skip the
+    log-sum recomputation.
     """
     one_minus = jnp.maximum(1.0 - p, 1e-30)
-    log_total = jnp.sum(jnp.log(one_minus), axis=1, keepdims=True)
-    total = jnp.exp(log_total)  # (T², 1) = Π(1−p)
+    if total is None:
+        log_total = jnp.sum(jnp.log(one_minus), axis=1, keepdims=True)
+        total = jnp.exp(log_total)  # (T², 1) = Π(1−p)
 
     dl_dp = g * total / one_minus
     dl_dsd2 = dl_dp * (-inv_sigma) * p * (1.0 - p)

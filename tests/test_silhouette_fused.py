@@ -160,3 +160,92 @@ class TestCapacityCounters:
         spec2 = spec._replace(max_tiles_per_face=1, pages_per_tile=8)
         bins2 = sf.compute_fused_bins(verts, model, cam_t, spec2)
         assert int(bins2.stats.span_clipped_faces) > 0
+
+
+class TestFusedLossGradKernel:
+    """One-pass loss+grad kernel (interpret mode) vs twin + autodiff."""
+
+    def _inputs(self, seed=4):
+        model, verts, cam_t, spec = _problem(seed=seed)
+        bins = sf.compute_fused_bins(verts, model, cam_t, spec)
+        verts_screen = camera_lib.project_points_screen(
+            verts, cam_t, spec.image_size, spec.focal_length
+        )
+        tx, ty = sf.build_tables(verts_screen, model.vertex_perm)
+        px_to_ndc2 = (2.0 / spec.image_size) ** 2
+        inv_sigma = px_to_ndc2 / spec.sigma
+        blur_px2 = spec.blur_radius / px_to_ndc2
+        g2 = bins.pages.shape[1]
+        mask = jnp.asarray(
+            np.random.default_rng(9).uniform(
+                0, 1, size=(tx.shape[0], g2, spec.tile_size**2)
+            ).astype(np.float32)
+        )
+        return tx, ty, bins, spec, inv_sigma, blur_px2, mask
+
+    def test_value_and_grad_vs_twin(self):
+        tx, ty, bins, spec, inv_sigma, blur_px2, mask = self._inputs()
+        w = jnp.asarray(
+            np.random.default_rng(11).uniform(0.5, 1.5, size=(tx.shape[0],)).astype(np.float32)
+        )
+
+        def loss_kernel(tx_, ty_):
+            err = sf.fused_sq_err(
+                tx_, ty_, bins.pages, bins.idx, bins.origin, mask,
+                spec.tile_size, inv_sigma, blur_px2, sf.dump_page_id(96), 8, True,
+            )
+            return jnp.sum(err * w)
+
+        def loss_twin(tx_, ty_):
+            tiles = sf.fused_tiles_alpha_xla(
+                tx_, ty_, bins.pages, bins.idx, bins.origin,
+                spec.tile_size, inv_sigma, blur_px2,
+            )
+            err = jnp.sum((tiles - mask) ** 2, axis=(-1, -2))
+            return jnp.sum(err * w)
+
+        vk, gk = jax.value_and_grad(loss_kernel, argnums=(0, 1))(tx, ty)
+        vt, gt = jax.value_and_grad(loss_twin, argnums=(0, 1))(tx, ty)
+        np.testing.assert_allclose(float(vk), float(vt), rtol=1e-5)
+        for a, b in zip(gk, gt):
+            scale = np.abs(np.asarray(b)).max() + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4 * scale, rtol=2e-4
+            )
+
+    def test_empty_tiles_contribute_mask_mass(self):
+        tx, ty, bins, spec, inv_sigma, blur_px2, mask = self._inputs(seed=6)
+        # Force every tile empty: all page slots point at the dump page.
+        dump = sf.dump_page_id(96)
+        empty_pages = jnp.full_like(bins.pages, dump)
+        err = sf.fused_sq_err(
+            tx, ty, empty_pages, bins.idx, bins.origin, mask,
+            spec.tile_size, inv_sigma, blur_px2, dump, 8, True,
+        )
+        want = jnp.sum(mask**2, axis=(-1, -2))
+        np.testing.assert_allclose(np.asarray(err), np.asarray(want), rtol=1e-5)
+
+    def test_high_level_entry_matches_tiles_path(self):
+        model, verts, cam_t, spec = _problem(seed=7)
+        bins = sf.compute_fused_bins(verts, model, cam_t, spec)
+        g2 = bins.pages.shape[1]
+        mask = jnp.asarray(
+            np.random.default_rng(13).uniform(
+                0, 1, size=(verts.shape[0], g2, spec.tile_size**2)
+            ).astype(np.float32)
+        )
+        tiles = sf.silhouette_tiles_fused(verts, model, cam_t, spec, bins=bins)
+        want = jnp.mean((tiles - mask) ** 2, axis=(-1, -2))
+        # CPU: route the sq-err entry through the interpret-mode kernel by
+        # calling fused_sq_err directly with the same tables.
+        verts_screen = camera_lib.project_points_screen(
+            verts, cam_t, spec.image_size, spec.focal_length
+        )
+        tx, ty = sf.build_tables(verts_screen, model.vertex_perm)
+        px_to_ndc2 = (2.0 / spec.image_size) ** 2
+        err = sf.fused_sq_err(
+            tx, ty, bins.pages, bins.idx, bins.origin, mask,
+            spec.tile_size, px_to_ndc2 / spec.sigma,
+            spec.blur_radius / px_to_ndc2, sf.dump_page_id(96), 8, True,
+        ) / float(spec.image_size**2)
+        np.testing.assert_allclose(np.asarray(err), np.asarray(want), rtol=2e-4, atol=1e-7)
