@@ -687,10 +687,10 @@ def _fused_lossgrad_kernel(
 
     for c in range(chunk):
         is_empty = pages_ref[c, 0] == dump_page
-        mask_row = mask_ref[c, :].reshape(t2, 1)
 
         @pl.when(jnp.logical_not(is_empty))
         def _():
+            mask_row = mask_ref[c, :].reshape(t2, 1)
             ws_x, ws_y = _load_workspaces(tx_ref, ty_ref, pages_ref, c, p_hat=p_hat)
             rows = []
             lanes = []
@@ -704,7 +704,7 @@ def _fused_lossgrad_kernel(
                 )
                 rows.extend([x_row, y_row])
             px_x, px_y = sp._pixel_coords(origin_ref, c, t2, tile, k_pad)
-            p, sd2, dmin, inside, edges = sp._coverage_rows(
+            p, _, dmin, inside, edges = sp._coverage_rows(
                 px_x, px_y, tuple(rows), inv_sigma=inv_sigma, blur_px2=blur_px2
             )
             one_minus = jnp.maximum(1.0 - p, 1e-30)
