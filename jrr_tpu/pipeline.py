@@ -68,6 +68,26 @@ def _batch_to_device_inputs(batch: Dict[str, np.ndarray], spin_fn=None):
     return init, data
 
 
+# Module-level jitted replay (CLAUDE.md: reuse module-level jitted functions —
+# per-call jax.jit lambdas recompile on every run_optimize invocation, and
+# axon compiles run 10-400 s). Lazy so importing this module stays side-effect
+# free; the model rides as a jit ARGUMENT, never a closure capture.
+_REPLAY_VERTICES = None
+
+
+def _replay_vertices():
+    global _REPLAY_VERTICES
+    if _REPLAY_VERTICES is None:
+        import jax
+
+        from jrr_tpu.refine import losses as losses_lib
+
+        _REPLAY_VERTICES = jax.jit(
+            lambda m, params: losses_lib.forward_frame(m, params).vertices
+        )
+    return _REPLAY_VERTICES
+
+
 def run_optimize(
     cfg: PipelineConfig,
     model,
@@ -124,14 +144,6 @@ def run_optimize(
     acc = trainer.JRegLstsqAccumulator.zero(model.num_verts)
     accumulate = jax.jit(trainer.jreg_lstsq_accumulate)
 
-    from jrr_tpu.refine import losses as losses_lib
-
-    # Model passed as an argument, NOT closure-captured: axon lowering fetches
-    # closure-captured device arrays back through the tunnel (CLAUDE.md).
-    replay_vertices = jax.jit(
-        lambda m, params: losses_lib.forward_frame(m, params).vertices
-    )
-
     for shard_id, batch in enumerate(batches):
         if resume and manifest.is_done(shard_id):
             # The lstsq accumulator is NOT checkpointed; rebuild this shard's
@@ -140,13 +152,18 @@ def run_optimize(
             # this, a fully-resumed run fits the regressor on an EMPTY
             # accumulator and silently produces a zero (→ NaN after row
             # normalization) regressor.
+            from jrr_tpu.refine import losses as losses_lib
+
             saved = manifest.read_shard(shard_id)
             # Shards pair with batches purely by position, so a resume under
             # a different shuffle/seed/batch-size would silently cross-pair
             # refined vertices with the wrong frames' GT. The shard stores
-            # its gt_j3d; any mismatch is a hard error.
-            if "gt_j3d" in saved and not np.allclose(
-                saved["gt_j3d"], batch["gt_j3d"], atol=1e-5
+            # its gt_j3d; any mismatch — SHAPE first (np.allclose would raise
+            # an opaque broadcast error, or broadcast-compare a size-1 batch),
+            # then values — is a hard error.
+            if "gt_j3d" in saved and (
+                saved["gt_j3d"].shape != np.asarray(batch["gt_j3d"]).shape
+                or not np.allclose(saved["gt_j3d"], batch["gt_j3d"], atol=1e-5)
             ):
                 raise ValueError(
                     f"shard {shard_id}: saved gt_j3d does not match this "
@@ -162,7 +179,7 @@ def run_optimize(
             )
             acc = accumulate(
                 acc,
-                replay_vertices(model, params),
+                _replay_vertices()(model, params),
                 jnp.asarray(batch["gt_j3d"]),
                 jnp.asarray(saved["joints3d"][:, :1]),
             )

@@ -118,6 +118,10 @@ def silhouette_loss(
     """Per-frame MSE between the rendered soft silhouette and the GT mask
     (reference: scripts/optimize.py:234-247). The fused path compares in tile
     space — the same pixel set, never reassembled into an image."""
+    # The mask is supervision — stop-gradient on EVERY backend so the fused
+    # TPU kernel (zero mask-cotangent by declaration) and the autodiff twins
+    # agree exactly on gradient semantics.
+    mask = jax.lax.stop_gradient(mask)
     spec = rasterizer_spec(cfg)
     backend = resolve_silhouette_backend(spec)
     if backend == "fused":

@@ -452,8 +452,11 @@ def render_silhouette_batch_pallas(
     if jax.default_backend() == "tpu":
         from jrr_tpu.render.silhouette_fused import _pick_chunk
 
-        # Shared picker: keeps the chunk an 8-divisible divisor (TPU sublane
-        # constraint on the origin/alpha blocks) instead of naive halving.
+        # Shared picker: PREFERS an 8-divisible divisor of the tile count
+        # (TPU sublane constraint on the origin/alpha blocks). Grids whose
+        # tile count has no 8-divisible divisor (e.g. 49) still fall back to
+        # any divisor and remain unsupported on the TPU kernel path — use
+        # tile/image sizes whose G² is a multiple of 8.
         chunk = _pick_chunk(b * g * g, spec.pallas_chunk)
         alphas = sp.tiles_alpha_pallas(
             flat(origin), flat(tri), flat(valid),

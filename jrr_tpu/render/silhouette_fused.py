@@ -373,14 +373,26 @@ def _load_workspaces(tx_ref, ty_ref, pages_ref, c, *, p_hat):
     return ws_x, ws_y
 
 
-def _tile_rows(tx_ref, ty_ref, pages_ref, idx_ref, c, *, p_hat, k_pad):
+def _tile_rows(tx_ref, ty_ref, pages_ref, idx_ref, c, *, p_hat, k_pad,
+               with_indices=False):
+    """Corner coordinate rows (ax, ay, bx, by, cx, cy) for tile c; with
+    `with_indices`, also the per-corner (lane, page-slot) index rows the
+    gradient kernels scatter back through — ONE decoding shared by every
+    kernel so the idx encoding can never desynchronize between them."""
     ws_x, ws_y = _load_workspaces(tx_ref, ty_ref, pages_ref, c, p_hat=p_hat)
     rows = []
+    lanes = []
+    pss = []
     for corner in range(3):
+        idx_row = idx_ref[c, corner : corner + 1, :]
+        lanes.append(idx_row & 127)
+        pss.append(idx_row >> 7)
         x_row, y_row = _gather_corner_rows(
-            ws_x, ws_y, idx_ref[c, corner : corner + 1, :], p_hat=p_hat, k_pad=k_pad
+            ws_x, ws_y, idx_row, p_hat=p_hat, k_pad=k_pad
         )
         rows.extend([x_row, y_row])
+    if with_indices:
+        return tuple(rows), lanes, pss
     return tuple(rows)  # (ax, ay, bx, by, cx, cy)
 
 
@@ -497,21 +509,13 @@ def _fused_bwd_kernel(
 
         @pl.when(jnp.logical_not(is_empty))
         def _():
-            ws_x, ws_y = _load_workspaces(tx_ref, ty_ref, pages_ref, c, p_hat=p_hat)
-            rows = []
-            lanes = []
-            pss = []
-            for corner in range(3):
-                idx_row = idx_ref[c, corner : corner + 1, :]
-                lanes.append(idx_row & 127)
-                pss.append(idx_row >> 7)
-                x_row, y_row = _gather_corner_rows(
-                    ws_x, ws_y, idx_row, p_hat=p_hat, k_pad=k_pad
-                )
-                rows.extend([x_row, y_row])
+            rows, lanes, pss = _tile_rows(
+                tx_ref, ty_ref, pages_ref, idx_ref, c, p_hat=p_hat,
+                k_pad=k_pad, with_indices=True,
+            )
             px_x, px_y = sp._pixel_coords(origin_ref, c, t2, tile, k_pad)
             p, sd2, dmin, inside, edges = sp._coverage_rows(
-                px_x, px_y, tuple(rows), inv_sigma=inv_sigma, blur_px2=blur_px2
+                px_x, px_y, rows, inv_sigma=inv_sigma, blur_px2=blur_px2
             )
             g = g_ref[c, :].reshape(t2, 1)
             _route_grads_to_pages(
@@ -691,21 +695,13 @@ def _fused_lossgrad_kernel(
         @pl.when(jnp.logical_not(is_empty))
         def _():
             mask_row = mask_ref[c, :].reshape(t2, 1)
-            ws_x, ws_y = _load_workspaces(tx_ref, ty_ref, pages_ref, c, p_hat=p_hat)
-            rows = []
-            lanes = []
-            pss = []
-            for corner in range(3):
-                idx_row = idx_ref[c, corner : corner + 1, :]
-                lanes.append(idx_row & 127)
-                pss.append(idx_row >> 7)
-                x_row, y_row = _gather_corner_rows(
-                    ws_x, ws_y, idx_row, p_hat=p_hat, k_pad=k_pad
-                )
-                rows.extend([x_row, y_row])
+            rows, lanes, pss = _tile_rows(
+                tx_ref, ty_ref, pages_ref, idx_ref, c, p_hat=p_hat,
+                k_pad=k_pad, with_indices=True,
+            )
             px_x, px_y = sp._pixel_coords(origin_ref, c, t2, tile, k_pad)
             p, _, dmin, inside, edges = sp._coverage_rows(
-                px_x, px_y, tuple(rows), inv_sigma=inv_sigma, blur_px2=blur_px2
+                px_x, px_y, rows, inv_sigma=inv_sigma, blur_px2=blur_px2
             )
             one_minus = jnp.maximum(1.0 - p, 1e-30)
             total = jnp.exp(jnp.sum(jnp.log(one_minus), axis=1, keepdims=True))
@@ -786,12 +782,21 @@ def fused_sq_err(
     tx, ty, pages, idx, origin, mask_tiles,
     tile, inv_sigma, blur_px2, dump_page, chunk=56, interpret=False,
 ):
-    """Per-frame Σ(α − mask)² over all pixels, one kernel pass (B,)."""
-    err, _, _ = _fused_lossgrad_impl(
-        tx, ty, pages, idx, origin, mask_tiles, tile, inv_sigma, blur_px2,
-        dump_page, chunk, interpret,
+    """Per-frame Σ(α − mask)² over all pixels (B,).
+
+    Under `value_and_grad`, ONE kernel computes the error and the gradient
+    tables together (the VJP fwd). A forward-only call dispatches to the
+    cheap forward kernel instead — no gradient-routing work is paid.
+
+    The mask is treated as non-differentiable supervision: its cotangent is
+    defined as zero (declared semantics, matching the stop_gradient applied
+    by `silhouette_sq_err_fused`).
+    """
+    tiles = _fused_fwd_impl(
+        tx, ty, pages, idx, origin, tile, inv_sigma, blur_px2, dump_page,
+        chunk, interpret,
     )
-    return err
+    return jnp.sum((tiles - mask_tiles) ** 2, axis=(-1, -2))
 
 
 def _fused_sq_err_fwd(tx, ty, pages, idx, origin, mask_tiles, tile, inv_sigma,
@@ -836,21 +841,17 @@ def silhouette_sq_err_fused(
     `mean((silhouette_tiles_fused(...) − mask_tiles)², axis=(-1,-2))` but the
     coverage math runs ONCE per value_and_grad instead of twice (the loss is
     computed in-kernel along with the gradient tables).
+
+    The mask is supervision, not an optimization variable: it is
+    stop-gradiented here so BOTH backends (this kernel and the XLA twin used
+    off-TPU) expose identical zero mask-gradients by declaration.
     """
-    if bins is None:
-        bins = compute_fused_bins(vertices_smpl, model, cam_t, spec)
-    verts_screen = camera_lib.project_points_screen(
-        vertices_smpl, cam_t, spec.image_size, spec.focal_length
+    bins, tx, ty, inv_sigma, blur_px2 = _prep_kernel_inputs(
+        vertices_smpl, model, cam_t, spec, bins
     )
-    perm = model.vertex_perm
-    if perm is None:
-        perm = jnp.arange(model.num_verts, dtype=jnp.int32)
-    tx, ty = build_tables(verts_screen, perm)
-    px_to_ndc2 = (2.0 / spec.image_size) ** 2
-    inv_sigma = px_to_ndc2 / spec.sigma
-    blur_px2 = spec.blur_radius / px_to_ndc2 if spec.blur_radius > 0 else 0.0
     err = fused_sq_err(
-        tx, ty, bins.pages, bins.idx, bins.origin, mask_tiles,
+        tx, ty, bins.pages, bins.idx, bins.origin,
+        jax.lax.stop_gradient(mask_tiles),
         spec.tile_size, inv_sigma, blur_px2, dump_page_id(model.num_verts),
         spec.pallas_chunk, False,
     )
@@ -901,18 +902,10 @@ def fused_tiles_alpha_xla(tx, ty, pages, idx, origin, tile, inv_sigma, blur_px2)
 # ---------------------------------------------------------------------------
 
 
-def silhouette_tiles_fused(
-    vertices_smpl: jax.Array,
-    model,
-    cam_t: jax.Array,
-    spec,
-    bins: Optional[FusedBins] = None,
-) -> jax.Array:
-    """SMPL-frame vertices (B, V, 3) + camera (B, 3) → alpha tiles (B, G², T²).
-
-    Pass `bins` (from `compute_fused_bins`) to amortize binning across steps;
-    otherwise bins are computed on the fly from the current vertices.
-    """
+def _prep_kernel_inputs(vertices_smpl, model, cam_t, spec, bins):
+    """Shared preamble for every fused entry point: bins default, Morton-perm
+    fallback, coordinate tables, and the σ/blur pixel-space constants (one
+    definition, so the tiles and loss paths can never drift apart)."""
     if bins is None:
         bins = compute_fused_bins(vertices_smpl, model, cam_t, spec)
     verts_screen = camera_lib.project_points_screen(
@@ -925,6 +918,24 @@ def silhouette_tiles_fused(
     px_to_ndc2 = (2.0 / spec.image_size) ** 2
     inv_sigma = px_to_ndc2 / spec.sigma
     blur_px2 = spec.blur_radius / px_to_ndc2 if spec.blur_radius > 0 else 0.0
+    return bins, tx, ty, inv_sigma, blur_px2
+
+
+def silhouette_tiles_fused(
+    vertices_smpl: jax.Array,
+    model,
+    cam_t: jax.Array,
+    spec,
+    bins: Optional[FusedBins] = None,
+) -> jax.Array:
+    """SMPL-frame vertices (B, V, 3) + camera (B, 3) → alpha tiles (B, G², T²).
+
+    Pass `bins` (from `compute_fused_bins`) to amortize binning across steps;
+    otherwise bins are computed on the fly from the current vertices.
+    """
+    bins, tx, ty, inv_sigma, blur_px2 = _prep_kernel_inputs(
+        vertices_smpl, model, cam_t, spec, bins
+    )
     if jax.default_backend() == "tpu":
         return fused_tiles_alpha(
             tx, ty, bins.pages, bins.idx, bins.origin,
