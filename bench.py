@@ -51,18 +51,20 @@ def main() -> None:
         cfg.refiner, stage_a_steps=STAGE_A_STEPS, stage_b_steps=STAGE_B_STEPS
     )
 
+    # The model rides as a jit ARGUMENT (axon lowering re-fetches
+    # closure-captured device arrays through the tunnel — CLAUDE.md).
     @jax.jit
-    def refine(i, d, jr, pd, sd):
-        return engine.refine_batch(model, jr, i, d, rcfg, pd, sd)
+    def refine(mdl, i, d, jr, pd, sd):
+        return engine.refine_batch(mdl, jr, i, d, rcfg, pd, sd)
 
     # Compile + warm-up execution (not timed).
-    out = refine(init, data, j_reg, pose_disc, shape_disc)
+    out = refine(model, init, data, j_reg, pose_disc, shape_disc)
     jax.block_until_ready(out)
 
     # The real composed program, end-to-end: one device dispatch covering all
     # 1000 stage-A + 100 stage-B steps.
     t0 = time.perf_counter()
-    out = refine(init, data, j_reg, pose_disc, shape_disc)
+    out = refine(model, init, data, j_reg, pose_disc, shape_disc)
     jax.block_until_ready(out)
     t_total = time.perf_counter() - t0
 

@@ -53,6 +53,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="initial (17, V) joint regressor file (.npy/.npz/.pt); the "
         "reference uses SPIN's J_regressor_h36m.npy",
     )
+    p.add_argument(
+        "--spin-checkpoint", default=None,
+        help="SPIN torch checkpoint (model_checkpoint.pt); enables live "
+        "per-batch SPIN initialization (reference: scripts/optimize.py:164-182)",
+    )
+    p.add_argument(
+        "--spin-mean-params", default=None,
+        help="SPIN smpl_mean_params.npz (init_pose/shape/cam buffers)",
+    )
+    p.add_argument(
+        "--loader", default="auto", choices=["auto", "python", "native"],
+        help="host input pipeline: native = C++ pack loader (builds "
+        "frames.jrrpack on first use); auto = native when a pack exists",
+    )
     p.add_argument("--metrics-jsonl", default=None)
     p.add_argument("--wandb-log", action="store_true")
     p.add_argument(
@@ -97,14 +111,20 @@ def main(argv=None) -> None:
     cfg = config_from_args(args)
 
     if args.demo:
-        # Demo defaults: small enough to finish in about a minute anywhere.
+        # Demo defaults: small enough to finish in about a minute anywhere,
+        # but the FULL five-term objective — the silhouette term runs through
+        # the fused-rasterizer path (XLA twin off-TPU) at a 56² working
+        # resolution (fixture masks are 224², mean-pooled 4× on ingest).
         cfg = dataclasses.replace(
             cfg,
             refiner=dataclasses.replace(
                 cfg.refiner,
                 stage_a_steps=min(cfg.refiner.stage_a_steps, 100),
                 stage_b_steps=min(cfg.refiner.stage_b_steps, 30),
-                use_silhouette=False,
+                silhouette=dataclasses.replace(
+                    cfg.refiner.silhouette,
+                    image_size=min(cfg.refiner.silhouette.image_size, 56),
+                ),
             ),
             data=dataclasses.replace(cfg.data, batch_size=min(args.batch_size, 8)),
         )
@@ -128,6 +148,9 @@ def main(argv=None) -> None:
         run_pipeline(
             cfg, data_root=args.data_root, out_dir=args.out, demo=args.demo,
             logger=logger, jreg_init_path=args.jreg_init,
+            spin_checkpoint=args.spin_checkpoint,
+            spin_mean_params=args.spin_mean_params,
+            loader=args.loader,
         )
     finally:
         logger.close()

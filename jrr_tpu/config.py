@@ -58,6 +58,12 @@ class SilhouetteConfig:
     # "pallas" (round-1 kernel + XLA gather glue), "xla" (lax.map tile loop).
     # "auto" = fused on TPU, xla-twin elsewhere.
     backend: str = "auto"
+    # Evaluate the silhouette term every Nth stage-B step only (weight × N on
+    # active steps keeps the average gradient contribution; inactive steps
+    # skip the rasterizer entirely via lax.cond). 1 = every step (reference
+    # behavior). A throughput/quality trade measured in
+    # tools/silhouette_quality.py + BASELINE.md.
+    step_stride: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

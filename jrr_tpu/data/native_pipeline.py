@@ -93,11 +93,14 @@ class PackedH36MDataset:
     def batches(
         self, batch_size: int, seed: int = 0, shuffle: bool = True,
         drop_last: bool = True, num_hosts: int = 1, host_id: int = 0,
+        epoch: int = 0,
     ):
         n = len(self)
         order = np.arange(n)
         if shuffle:
-            order = np.random.default_rng(seed).permutation(n)
+            # (seed, epoch) keyed like BatchLoader.set_epoch: per-epoch
+            # reshuffle, deterministic across hosts.
+            order = np.random.default_rng((seed, epoch)).permutation(n)
         per = n // num_hosts
         order = order[host_id * per : (host_id + 1) * per]
         for i in range(0, len(order), batch_size):

@@ -149,6 +149,50 @@ def evaluate_consumer(
     return BeforeAfter(before=acc_before.result(), after=acc_after.result())
 
 
+def evaluate_consumer_sequences(
+    seq_consumer,
+    batches: Iterable[Dict[str, np.ndarray]],
+    j_reg_initial: jax.Array,
+    j_reg_retrained: jax.Array,
+    seqlen: int = 16,
+    frame_index: int = 0,
+    jreg_mask: Optional[jax.Array] = None,
+) -> BeforeAfter:
+    """TRUE video-sequence consumer eval (reference: scripts/test.py:254-273).
+
+    The reference chunks the frame stream into seqlen-16 sequences, runs the
+    video model on each chunk, and evaluates `kp_3d[:, 0]` of every chunk
+    against that frame's GT. Here: each batch's frames (assumed in temporal
+    order) are reshaped into (B//seqlen, seqlen) chunks, `seq_consumer`
+    (from `temporal.make_sequence_consumer`) consumes the REAL sequences, and
+    the `frame_index`-th frame of each chunk is scored. Leftover frames that
+    don't fill a chunk are dropped (the reference's chunking drops them too).
+    """
+    norm_init = jreg_lib.normalize_jreg(j_reg_initial, jreg_mask)
+    norm_retr = jreg_lib.normalize_jreg(j_reg_retrained, jreg_mask)
+
+    acc_before, acc_after = _MeanAccumulator(), _MeanAccumulator()
+    for batch in batches:
+        img = np.asarray(batch["spin_image"])
+        gt = np.asarray(batch["gt_j3d"])
+        n_chunks = img.shape[0] // seqlen
+        if n_chunks == 0:
+            continue
+        video = jnp.asarray(
+            img[: n_chunks * seqlen].reshape((n_chunks, seqlen) + img.shape[1:])
+        )
+        gt_sel = jnp.asarray(
+            gt[: n_chunks * seqlen].reshape((n_chunks, seqlen) + gt.shape[1:])[
+                :, frame_index
+            ]
+        )
+        for norm, acc in ((norm_init, acc_before), (norm_retr, acc_after)):
+            kp3d = seq_consumer(video, norm)[:, frame_index]
+            kp3d = jreg_lib.move_pelvis(kp3d)
+            acc.add(metrics_lib.evaluate(kp3d, gt_sel), n_chunks)
+    return BeforeAfter(before=acc_before.result(), after=acc_after.result())
+
+
 def make_spin_consumer(model: smpl_lib.SMPLModel, spin_model, spin_variables):
     """The SPIN network as a RegressorConsumer (for consumer-path testing)."""
     from jrr_tpu.models import spin as spin_lib

@@ -1,0 +1,254 @@
+"""MEVA-family temporal pose model — the motion-VAE regressor-consumer.
+
+The reference's second external consumer is MEVA ("3D Human Motion Estimation
+via Motion Compression and Refinement", Luo et al., ACCV 2020): per-frame CNN
+features → temporal GRU encoder → a motion VAE that COMPRESSES the sequence
+into a latent code and decodes it back into a coarse SMPL pose sequence →
+per-frame SPIN-style IEF refinement initialized from the coarse pose. The
+reference builds `MEVA_demo(n_layers, seqlen, hidden_size, add_linear,
+bidirectional, use_residual, cfg=VAE_CFG)` and loads `ckpt['gen_state_dict']`
+(reference: scripts/test.py:167-195), then evaluates it exactly like VIBE,
+passing `J_regressor=` into the forward (scripts/test.py:254-273).
+
+This is the TPU-native realization of that family:
+
+- `MotionVAE`: GRU sequence encoder → (μ, logσ²) latent; latent-conditioned
+  GRU decoder → per-frame rot6d coarse pose. Inference is deterministic
+  (z = μ), matching eval-mode usage.
+- `MEVAPoseModel`: SPIN ResNet-50 per frame → `TemporalEncoder` (shared with
+  the VIBE realization — MEVA reuses VIBE's temporal GRU verbatim) → pooled
+  features map to the VAE latent → decoded coarse pose seeds the per-frame
+  IEF head (`SPINRegressor` with init_pose = coarse pose, the structural
+  difference from VIBE, whose head starts at the mean pose).
+- `convert_torch_meva_checkpoint`: torch `gen_state_dict` (encoder.* exactly
+  as VIBE; vae_model.* motion-VAE GRUs/linears; regressor.* SPIN head) →
+  flax variables, with the same gate-level torch parity tests as the VIBE
+  converter (tests/test_meva.py builds a live torch twin).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jrr_tpu.models import spin as spin_lib
+from jrr_tpu.models import temporal as temporal_lib
+
+
+class MotionVAE(nn.Module):
+    """Sequence VAE over pose/feature sequences.
+
+    encode: (B, T, D) → (μ, logσ²), both (B, latent).
+    decode: (B, latent) → (B, T, out_dim) coarse rot6d pose sequence.
+    The decoder GRU starts from a latent-derived hidden state and consumes the
+    latent (tiled) at every step — standard sequence-VAE conditioning.
+    """
+
+    latent_dim: int = 1024
+    hidden_size: int = 1024
+    n_layers: int = 1
+    out_dim: int = spin_lib.NUM_POSE_PARAMS
+
+    def setup(self):
+        # Attribute names define the param-tree names the converter targets
+        # (flax setup() derives submodule names from attributes). The cells
+        # are bound to THIS module first, then shared into nn.RNN wrappers —
+        # the wrappers stay transparent in the param tree, so params live
+        # under enc_gru_l{k}/d_gru exactly as the converter emits them.
+        for k in range(self.n_layers):
+            cell = nn.GRUCell(self.hidden_size)
+            setattr(self, f"enc_gru_l{k}", cell)
+            setattr(self, f"_enc_rnn_l{k}", nn.RNN(cell))
+        self.e_mu = nn.Dense(self.latent_dim)
+        self.e_logvar = nn.Dense(self.latent_dim)
+        self.d_init = nn.Dense(self.hidden_size)
+        self.d_gru = nn.GRUCell(self.hidden_size)
+        self._d_rnn = nn.RNN(self.d_gru)
+        self.d_out = nn.Dense(self.out_dim)
+
+    def encode(self, seq):
+        h = seq
+        for k in range(self.n_layers):
+            h = getattr(self, f"_enc_rnn_l{k}")(h)
+        last = h[:, -1]
+        return self.e_mu(last), self.e_logvar(last)
+
+    def decode(self, z, seqlen: int):
+        h0 = jnp.tanh(self.d_init(z))
+        inputs = jnp.repeat(z[:, None], seqlen, axis=1)
+        h = self._d_rnn(inputs, initial_carry=h0)
+        return self.d_out(h)
+
+    def __call__(self, seq):
+        """Deterministic autoencode (eval mode): z = μ."""
+        mu, logvar = self.encode(seq)
+        return self.decode(mu, seq.shape[1]), mu, logvar
+
+
+class MEVAPoseModel(nn.Module):
+    """(B, T, 3, 224, 224) → per-frame (pose6d (B,T,24,6), betas, cam).
+
+    Motion compression (VAE decode of a feature-derived latent) produces the
+    coarse pose; the IEF head refines it per frame.
+    """
+
+    hidden_size: int = 1024
+    n_layers: int = 2
+    bidirectional: bool = False
+    latent_dim: int = 1024
+    vae_hidden: int = 1024
+    n_iter: int = 3
+
+    @nn.compact
+    def __call__(self, video, train: bool = False):
+        b, t = video.shape[:2]
+        frames = video.reshape((b * t,) + video.shape[2:])
+        feats = spin_lib.ResNet50(name="backbone")(frames, train=train)
+        feats = feats.reshape(b, t, -1)
+
+        temporal = temporal_lib.TemporalEncoder(
+            hidden_size=self.hidden_size, n_layers=self.n_layers,
+            bidirectional=self.bidirectional, name="encoder",
+        )(feats)
+
+        # Motion compression: pooled temporal features → latent → coarse pose
+        # sequence (the VAE's encoder path exists for checkpoint completeness
+        # and autoencoding work; the video path conditions on features).
+        vae = MotionVAE(
+            latent_dim=self.latent_dim, hidden_size=self.vae_hidden,
+            name="vae_model",
+        )
+        z = jnp.tanh(nn.Dense(self.latent_dim, name="feat_to_latent")(
+            jnp.mean(temporal, axis=1)
+        ))
+        coarse_pose = vae.decode(z, t)  # (B, T, 144) rot6d
+
+        flat = temporal.reshape(b * t, -1)
+        init_pose = coarse_pose.reshape(b * t, spin_lib.NUM_POSE_PARAMS)
+        init_shape = jnp.broadcast_to(
+            self.param("init_shape", nn.initializers.zeros, (1, 10)), (b * t, 10)
+        )
+        init_cam = jnp.broadcast_to(
+            self.param("init_cam", lambda k, s: jnp.asarray([[0.9, 0.0, 0.0]]), (1, 3)),
+            (b * t, 3),
+        )
+        pose, betas, cam = spin_lib.SPINRegressor(n_iter=self.n_iter, name="regressor")(
+            flat, init_pose, init_shape, init_cam, train=train
+        )
+        return (
+            pose.reshape(b, t, 24, 6),
+            betas.reshape(b, t, 10),
+            cam.reshape(b, t, 3),
+        )
+
+
+def init_meva(key: jax.Array, seqlen: int = 4, image_size: int = 224, **kwargs):
+    model = MEVAPoseModel(**kwargs)
+    variables = model.init(key, jnp.zeros((1, seqlen, 3, image_size, image_size)))
+    return model, variables
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint conversion (MEVA `gen_state_dict` naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_torch_meva_checkpoint(
+    gen_state_dict: Dict[str, np.ndarray],
+    backbone_variables: Optional[Dict[str, Any]] = None,
+    hidden_size: int = 1024,
+    n_layers: int = 2,
+    bidirectional: bool = False,
+    vae_hidden: int = 1024,
+    vae_n_layers: int = 1,
+) -> Dict[str, Any]:
+    """MEVA `ckpt['gen_state_dict']` → flax variables for MEVAPoseModel.
+
+    Layout (reference loads the dict at scripts/test.py:190-194):
+    - `encoder.gru.*`, `encoder.linear.*` — the temporal GRU, byte-identical
+      naming to VIBE (MEVA reuses VIBE's TemporalEncoder); converted by the
+      shared `temporal._gru_cell_params` machinery.
+    - `vae_model.enc_gru.weight_ih_l{k}` …, `vae_model.e_mu.*`,
+      `vae_model.e_logvar.*`, `vae_model.d_init.*`, `vae_model.d_gru.*`,
+      `vae_model.d_out.*` — the motion VAE.
+    - `feat_to_latent.*` — the feature→latent projection.
+    - `regressor.{fc1,fc2,decpose,decshape,deccam}.*`,
+      `regressor.init_{shape,cam}` — the SPIN-style head.
+
+    The ResNet backbone is spliced from a converted SPIN checkpoint, exactly
+    like the VIBE converter (`temporal.convert_torch_vibe_checkpoint`).
+    """
+    sd = {k: np.asarray(v) for k, v in gen_state_dict.items()}
+    gru = temporal_lib._gru_cell_params
+
+    encoder: Dict[str, Any] = {}
+    for k in range(n_layers):
+        encoder[f"gru_l{k}"] = gru(
+            sd[f"encoder.gru.weight_ih_l{k}"],
+            sd[f"encoder.gru.weight_hh_l{k}"],
+            sd[f"encoder.gru.bias_ih_l{k}"],
+            sd[f"encoder.gru.bias_hh_l{k}"],
+            hidden_size,
+        )
+        if bidirectional:
+            encoder[f"gru_l{k}_rev"] = gru(
+                sd[f"encoder.gru.weight_ih_l{k}_reverse"],
+                sd[f"encoder.gru.weight_hh_l{k}_reverse"],
+                sd[f"encoder.gru.bias_ih_l{k}_reverse"],
+                sd[f"encoder.gru.bias_hh_l{k}_reverse"],
+                hidden_size,
+            )
+    if "encoder.linear.weight" in sd:
+        encoder["linear"] = {
+            "kernel": sd["encoder.linear.weight"].T,
+            "bias": sd["encoder.linear.bias"],
+        }
+
+    linear = lambda prefix: {
+        "kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]
+    }
+
+    vae: Dict[str, Any] = {}
+    for k in range(vae_n_layers):
+        vae[f"enc_gru_l{k}"] = gru(
+            sd[f"vae_model.enc_gru.weight_ih_l{k}"],
+            sd[f"vae_model.enc_gru.weight_hh_l{k}"],
+            sd[f"vae_model.enc_gru.bias_ih_l{k}"],
+            sd[f"vae_model.enc_gru.bias_hh_l{k}"],
+            vae_hidden,
+        )
+    vae["d_gru"] = gru(
+        sd["vae_model.d_gru.weight_ih_l0"],
+        sd["vae_model.d_gru.weight_hh_l0"],
+        sd["vae_model.d_gru.bias_ih_l0"],
+        sd["vae_model.d_gru.bias_hh_l0"],
+        vae_hidden,
+    )
+    for lin in ("e_mu", "e_logvar", "d_init", "d_out"):
+        vae[lin] = linear(f"vae_model.{lin}")
+
+    head: Dict[str, Any] = {}
+    for lin in ("fc1", "fc2", "decpose", "decshape", "deccam"):
+        head[lin] = linear(f"regressor.{lin}")
+
+    params: Dict[str, Any] = {
+        "encoder": encoder,
+        "vae_model": vae,
+        "feat_to_latent": linear("feat_to_latent"),
+        "regressor": head,
+        "init_shape": sd.get("regressor.init_shape", np.zeros((1, 10), np.float32)).reshape(1, 10),
+        "init_cam": sd.get(
+            "regressor.init_cam", np.asarray([[0.9, 0.0, 0.0]], np.float32)
+        ).reshape(1, 3),
+    }
+
+    to_jnp = lambda tree: jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), tree)
+    variables: Dict[str, Any] = {"params": to_jnp(params), "batch_stats": {}}
+    if backbone_variables is not None:
+        variables["params"]["backbone"] = backbone_variables["params"]["backbone"]
+        variables["batch_stats"]["backbone"] = backbone_variables["batch_stats"]["backbone"]
+    return variables

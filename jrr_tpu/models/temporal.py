@@ -234,9 +234,9 @@ def make_temporal_consumer(smpl_model, model: TemporalPoseModel, variables, seql
 
     Returns a RegressorConsumer over frame batches: frames are tiled into a
     length-`seqlen` sequence (single-frame eval mode), the first frame's
-    parameters are used.
+    parameters are used. For TRUE video input use
+    `make_sequence_consumer` + `harness.evaluate_consumer_sequences`.
     """
-    from jrr_tpu.evals import harness
     from jrr_tpu.ops import rotations
     from jrr_tpu.models import smpl as smpl_fwd
     from jrr_tpu.ops import jreg as jreg_lib
@@ -250,5 +250,34 @@ def make_temporal_consumer(smpl_model, model: TemporalPoseModel, variables, seql
         rotm = rotations.rot6d_to_rotmat(pose6d)
         out = smpl_fwd.smpl_forward(smpl_model, betas, rotm[:, :1], rotm[:, 1:])
         return jreg_lib.apply_jreg(j_regressor, out.vertices)
+
+    return consumer
+
+
+def make_sequence_consumer(smpl_model, model, variables):
+    """TRUE video-sequence adapter (reference: scripts/test.py:254-258): the
+    model consumes real (C, T, 3, H, W) chunks — the GRU sees actual temporal
+    context, not a tiled constant — and returns per-frame joints
+    (C, T, 17, 3). Frame selection (the reference reads kp_3d[:, 0] per
+    chunk) is the harness's job (`evaluate_consumer_sequences`).
+
+    Works for any temporal model with the (video, train) → (pose6d, betas,
+    cam) apply signature (VIBE-style TemporalPoseModel, MEVA-style
+    MEVAPoseModel).
+    """
+    from jrr_tpu.ops import rotations
+    from jrr_tpu.models import smpl as smpl_fwd
+    from jrr_tpu.ops import jreg as jreg_lib
+
+    @jax.jit
+    def consumer(video, j_regressor):
+        c, t = video.shape[:2]
+        pose6d, betas, _ = model.apply(variables, video, train=False)
+        rotm = rotations.rot6d_to_rotmat(pose6d.reshape(c * t, 24, 6))
+        out = smpl_fwd.smpl_forward(
+            smpl_model, betas.reshape(c * t, 10), rotm[:, :1], rotm[:, 1:]
+        )
+        joints = jreg_lib.apply_jreg(j_regressor, out.vertices)
+        return joints.reshape((c, t) + joints.shape[1:])
 
     return consumer

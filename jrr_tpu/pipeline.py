@@ -33,12 +33,17 @@ class PipelineArtifacts:
     out_dir: str
 
 
-def _batch_to_device_inputs(batch: Dict[str, np.ndarray], spin_fn=None):
+def _batch_to_device_inputs(batch: Dict[str, np.ndarray], spin_fn=None, cfg=None):
     """Host batch dict → (FrameParams init, FrameBatch data).
 
     With a SPIN model, initial estimates come from the network on the 224 crop
     (reference: scripts/optimize.py:164-182); otherwise from the stored
     orient/pose/betas/cam tensors (the reference's precomputed SPIN outputs).
+
+    When `cfg` is given and the silhouette works at a smaller resolution than
+    the stored mask (e.g. --demo), the mask is mean-pooled down to match —
+    the rasterizer spec scales focal accordingly (losses.rasterizer_spec), so
+    the pooled mask and the render stay pixel-aligned.
     """
     import jax.numpy as jnp
 
@@ -48,6 +53,17 @@ def _batch_to_device_inputs(batch: Dict[str, np.ndarray], spin_fn=None):
     mask = batch.get("mask_rcnn")
     if mask is not None and mask.ndim == 4:
         mask = mask[:, 0]
+    if mask is not None and cfg is not None:
+        target = cfg.refiner.silhouette.image_size
+        src = mask.shape[-1]
+        if src != target:
+            if src % target != 0:
+                raise ValueError(
+                    f"mask resolution {src} is not an integer multiple of the "
+                    f"silhouette size {target}"
+                )
+            f = src // target
+            mask = mask.reshape(mask.shape[0], target, f, target, f).mean(axis=(2, 4))
     data = losses.FrameBatch(
         gt_j2d=jnp.asarray(batch["gt_j2d"]),
         gt_j3d=jnp.asarray(batch["gt_j3d"]),
@@ -161,6 +177,16 @@ def run_optimize(
             # its gt_j3d; any mismatch — SHAPE first (np.allclose would raise
             # an opaque broadcast error, or broadcast-compare a size-1 batch),
             # then values — is a hard error.
+            if "gt_j3d" not in saved:
+                # Pre-identity-field manifests can't be pairing-validated; a
+                # silent skip could cross-pair refined params with the wrong
+                # frames' GT, so say so loudly (ADVICE r2).
+                print(
+                    f"WARNING: shard {shard_id} predates the gt_j3d identity "
+                    "field — resume-time batch/shard pairing cannot be "
+                    "validated; ensure the data order (seed/batch-size/split) "
+                    "is unchanged, or clear the output dir."
+                )
             if "gt_j3d" in saved and (
                 saved["gt_j3d"].shape != np.asarray(batch["gt_j3d"]).shape
                 or not np.allclose(saved["gt_j3d"], batch["gt_j3d"], atol=1e-5)
@@ -185,7 +211,7 @@ def run_optimize(
             )
             continue
         t0 = time.time()
-        init, data = _batch_to_device_inputs(batch, spin_fn)
+        init, data = _batch_to_device_inputs(batch, spin_fn, cfg)
         init, data = put_batch(init), put_batch(data)
         state, m, result = step_fn(state, model_dev, init, data)
 
@@ -214,6 +240,47 @@ def run_optimize(
     return jax.device_get(state), jax.device_get(acc), manifest
 
 
+# Module-level jitted SPIN apply: the variables tree rides as a jit ARGUMENT
+# (axon rule — closure-captured device arrays are re-fetched through the
+# tunnel at every lowering), and the jit cache is shared across calls.
+_SPIN_APPLY = None
+
+
+def make_spin_fn(checkpoint_path: str, mean_params_path: Optional[str] = None):
+    """Published SPIN torch checkpoint → jitted initializer fn.
+
+    The reference builds hmr + loads `model_checkpoint.pt` and runs it per
+    batch to initialize refinement (reference: scripts/optimize.py:90-94,
+    164-168). Accepts the SPIN repo layout: a torch file whose ['model'] (or
+    root) is the hmr state_dict; `mean_params_path` is SPIN's
+    smpl_mean_params.npz (init_pose/shape/cam buffers).
+    """
+    global _SPIN_APPLY
+    import jax
+
+    from jrr_tpu.models import spin as spin_lib
+
+    if checkpoint_path.endswith((".npz", ".npy")):
+        # Already-converted flax variables (np.savez of the flattened tree is
+        # not supported — use the torch layout or a pickled tree).
+        raise ValueError("pass the torch SPIN checkpoint (.pt); conversion is built in")
+    import torch
+
+    ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {k: np.asarray(v.detach() if hasattr(v, "detach") else v) for k, v in sd.items()}
+    mean = None
+    if mean_params_path:
+        with np.load(mean_params_path) as f:
+            mean = {k: f[k] for k in f.files}
+    variables = spin_lib.convert_torch_spin_checkpoint(sd, mean)
+
+    if _SPIN_APPLY is None:
+        model = spin_lib.SPIN()
+        _SPIN_APPLY = jax.jit(lambda v, img: model.apply(v, img, train=False))
+    return lambda img: _SPIN_APPLY(variables, img)
+
+
 def load_regressor_file(path: str) -> np.ndarray:
     """(17, V) regressor from .npy / .npz(j_regressor) / torch .pt."""
     if path.endswith(".npy"):
@@ -234,8 +301,19 @@ def run_pipeline(
     demo: bool = False,
     logger=None,
     jreg_init_path: Optional[str] = None,
+    spin_checkpoint: Optional[str] = None,
+    spin_mean_params: Optional[str] = None,
+    loader: str = "auto",
 ) -> PipelineArtifacts:
-    """Full flow: optimize → regressor fit → protocol-2 before/after eval."""
+    """Full flow: [SPIN init →] optimize → regressor fit → protocol-2 eval.
+
+    `loader` selects the host input pipeline: "python" = H36MDataset +
+    prefetching BatchLoader; "native" = the C++ pack pipeline (builds
+    frames.jrrpack on first use); "auto" = native when a pack already exists.
+    `spin_checkpoint` enables live per-batch SPIN initialization (reference:
+    scripts/optimize.py:164-182) instead of the precomputed orient/pose
+    tensors.
+    """
     import jax.numpy as jnp
 
     from jrr_tpu.data import fixtures, h36m
@@ -293,22 +371,44 @@ def run_pipeline(
         j_reg_initial = load_regressor_file(jreg_init_path)
         model = smpl_lib.resolve_smpl_model()
 
-    dataset = h36m.H36MDataset(data_root, cfg.data.split)
-    loader = h36m.BatchLoader(
-        dataset, cfg.data.batch_size, seed=cfg.data.shuffle_seed,
-        drop_last=True, prefetch=cfg.data.prefetch,
-    )
+    spin_fn = None
+    if spin_checkpoint is not None:
+        spin_fn = make_spin_fn(spin_checkpoint, spin_mean_params)
 
-    def epoch_batches():
-        """All train epochs back to back, reshuffled per epoch
-        (reference: --train_epochs, scripts/args.py:7)."""
-        for epoch in range(max(1, cfg.data.train_epochs)):
-            loader.set_epoch(epoch)
-            yield from iter(loader)
+    # Host input pipeline: the C++ pack loader feeds batches with zero Python
+    # in the per-frame loop (decode + two warps in the runtime thread pool);
+    # the Python loader is the fallback (and the packer's source).
+    sub = "precomputed_train" if cfg.data.split == "train" else "precomputed_val"
+    pack_path = os.path.join(data_root or "", sub, "frames.jrrpack")
+    use_native = loader == "native" or (loader == "auto" and os.path.exists(pack_path))
+    if use_native:
+        from jrr_tpu.data import native_pipeline
+
+        packed = native_pipeline.PackedH36MDataset(data_root, cfg.data.split)
+
+        def epoch_batches(for_eval: bool = False):
+            for epoch in range(1 if for_eval else max(1, cfg.data.train_epochs)):
+                yield from packed.batches(
+                    cfg.data.batch_size, seed=cfg.data.shuffle_seed,
+                    epoch=epoch, drop_last=True,
+                )
+    else:
+        dataset = h36m.H36MDataset(data_root, cfg.data.split)
+        batch_loader = h36m.BatchLoader(
+            dataset, cfg.data.batch_size, seed=cfg.data.shuffle_seed,
+            drop_last=True, prefetch=cfg.data.prefetch,
+        )
+
+        def epoch_batches(for_eval: bool = False):
+            """All train epochs back to back, reshuffled per epoch
+            (reference: --train_epochs, scripts/args.py:7)."""
+            for epoch in range(1 if for_eval else max(1, cfg.data.train_epochs)):
+                batch_loader.set_epoch(epoch)
+                yield from iter(batch_loader)
 
     state, acc, manifest = run_optimize(
         cfg, model, j_reg_initial, epoch_batches(), out_dir, logger=logger,
-        use_mesh=True,
+        use_mesh=True, spin_fn=spin_fn,
     )
     j_reg_final = np.asarray(state.j_reg_raw)
     j_reg_lstsq = np.asarray(trainer.jreg_lstsq_solve(acc, cfg.jreg.lstsq_ridge))
@@ -317,13 +417,25 @@ def run_pipeline(
         j_regressor=j_reg_final, j_regressor_lstsq=j_reg_lstsq,
     )
 
-    # Protocol-2 eval: initializer predictions through initial vs final regressor.
+    # Protocol-2 eval: initializer predictions through initial vs final
+    # regressor. With a live SPIN model the predictions come from the network
+    # on the 224 crop (reference: scripts/test.py:97-105); otherwise from the
+    # stored precomputed SPIN outputs.
     def predictions():
-        for batch in iter(loader):
-            pose6d = np.concatenate(
-                [batch["orient"].reshape(-1, 1, 6), batch["pose"]], axis=1
-            )
-            yield {"pose6d": pose6d, "betas": batch["betas"], "gt_j3d": batch["gt_j3d"]}
+        from jrr_tpu.models import spin as spin_lib
+
+        for batch in epoch_batches(for_eval=True):
+            if spin_fn is not None:
+                pose6d, betas, _ = spin_fn(
+                    spin_lib.normalize_image(jnp.asarray(batch["spin_image"]))
+                )
+                pose6d, betas = np.asarray(pose6d), np.asarray(betas)
+            else:
+                pose6d = np.concatenate(
+                    [batch["orient"].reshape(-1, 1, 6), batch["pose"]], axis=1
+                )
+                betas = batch["betas"]
+            yield {"pose6d": pose6d, "betas": betas, "gt_j3d": batch["gt_j3d"]}
 
     before_after = harness.evaluate_regressor_pair(
         model, predictions(), jnp.asarray(j_reg_initial), jnp.asarray(j_reg_final)

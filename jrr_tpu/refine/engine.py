@@ -92,14 +92,20 @@ def refine_batch(
 
     # ---- Stage B: full five-term refinement ------------------------------
     opt_b = optax.adam(cfg.stage_b_lr)
+    stride = max(1, cfg.silhouette.step_stride)
 
-    def step_b(carry, _, bins=None):
+    def step_b(carry, step_idx, bins=None):
         p, opt_state = carry
+        # Silhouette step-striding: rasterize every `stride`-th step only
+        # (weight × stride on active steps; lax.cond skips the kernel on the
+        # rest). stride=1 → predicate None → unconditional (reference
+        # behavior, no cond in the graph).
+        sil_active = None if stride == 1 else (step_idx % stride == 0)
 
         def loss_fn(p_):
             return losses.stage_b_loss(
                 model, j_reg_norm, pose_disc_params, shape_disc_params, p_, data,
-                cfg, bins=bins,
+                cfg, bins=bins, sil_active=sil_active,
             )
 
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
@@ -132,7 +138,7 @@ def refine_batch(
         spec = losses.rasterizer_spec(cfg)
         fused = losses.resolve_silhouette_backend(spec) == "fused"
 
-        def outer_body(carry, _):
+        def outer_body(carry, chunk_idx):
             p, opt_state = carry
             out_now = losses.forward_frame(model, jax.lax.stop_gradient(p))
             cam_sg = jax.lax.stop_gradient(p.cam_t)
@@ -145,14 +151,14 @@ def refine_batch(
                 )
                 stats = None
             carry_out, terms = jax.lax.scan(
-                lambda c, x: step_b(c, x, bins=bins), (p, opt_state), None,
-                length=inner,
+                lambda c, x: step_b(c, x, bins=bins), (p, opt_state),
+                chunk_idx * inner + jnp.arange(inner),
             )
             return carry_out, (terms, stats)
 
         (params, _), (terms_b, stats_b) = jax.lax.scan(
-            outer_body, (params, opt_b.init(params)), None,
-            length=cfg.stage_b_steps // inner,
+            outer_body, (params, opt_b.init(params)),
+            jnp.arange(cfg.stage_b_steps // inner),
         )
         terms_b = jax.tree.map(
             lambda x: x.reshape((cfg.stage_b_steps,) + x.shape[2:]), terms_b
@@ -162,7 +168,7 @@ def refine_batch(
             bin_stats = jax.tree.map(lambda x: jnp.max(x, axis=0), stats_b)
     else:
         (params, _), terms_b = jax.lax.scan(
-            step_b, (params, opt_b.init(params)), None, length=cfg.stage_b_steps
+            step_b, (params, opt_b.init(params)), jnp.arange(cfg.stage_b_steps)
         )
 
     out = losses.forward_frame(model, params)

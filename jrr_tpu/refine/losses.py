@@ -91,13 +91,19 @@ def j3d_loss(pred_joints_m: jax.Array, gt_j3d_mm: jax.Array) -> jax.Array:
 
 
 def rasterizer_spec(cfg: RefinerConfig) -> sil_lib.RasterizerSpec:
+    # The silhouette camera views the SAME frustum as the 2D-joint camera at
+    # its own resolution: screen pixel scale is ≈ focal/2 · x/z independent of
+    # image_size (camera.py), so rendering at a smaller size requires focal
+    # scaled by size ratio or the render would be a center CROP, not a
+    # downscale. Identity when both sizes are 224 (the reference setup).
+    focal = cfg.camera.focal_length * cfg.silhouette.image_size / cfg.camera.image_size
     return sil_lib.RasterizerSpec(
         image_size=cfg.silhouette.image_size,
         sigma=cfg.silhouette.sigma,
         blur_radius=cfg.silhouette.blur_radius,
         tile_size=cfg.silhouette.tile_size,
         faces_per_tile=cfg.silhouette.faces_per_tile,
-        focal_length=cfg.camera.focal_length,
+        focal_length=focal,
         bin_margin_px=cfg.silhouette.bin_margin_px,
         max_tiles_per_face=cfg.silhouette.max_tiles_per_face,
         pages_per_tile=cfg.silhouette.pages_per_tile,
@@ -128,14 +134,12 @@ def silhouette_loss(
         from jrr_tpu.render import silhouette_fused as sf
 
         mask_tiles = sf.image_to_tiles(mask, spec.tile_size)
-        if jax.default_backend() == "tpu":
-            # One-pass kernel: loss AND gradient tables in a single sweep of
-            # the coverage math (value_and_grad costs one launch, not two).
-            return sf.silhouette_sq_err_fused(
-                vertices, model, cam_t, mask_tiles, spec, bins=bins
-            )
-        tiles = sf.silhouette_tiles_fused(vertices, model, cam_t, spec, bins=bins)
-        return jnp.mean((tiles - mask_tiles) ** 2, axis=(-1, -2))  # (B,)
+        # One-pass kernel on TPU: loss AND gradient tables in a single sweep
+        # of the coverage math (value_and_grad costs one launch, not two);
+        # the entry point itself routes to the XLA twin off-TPU.
+        return sf.silhouette_sq_err_fused(
+            vertices, model, cam_t, mask_tiles, spec, bins=bins
+        )
     render = sil_lib.render_mesh_silhouette(
         vertices, model.faces, cam_t, spec._replace(backend=backend), bins=bins
     )
@@ -151,8 +155,15 @@ def stage_b_loss(
     data: FrameBatch,
     cfg: RefinerConfig,
     bins=None,
+    sil_active=None,
 ):
-    """Full objective (reference: scripts/optimize.py:252-253). Returns (scalar, LossTerms)."""
+    """Full objective (reference: scripts/optimize.py:252-253). Returns (scalar, LossTerms).
+
+    `sil_active` (traced bool scalar or None): with silhouette step-striding
+    (SilhouetteConfig.step_stride > 1) the engine passes the per-step
+    predicate; inactive steps skip the rasterizer via lax.cond and active
+    steps scale the term by the stride to keep the average contribution.
+    """
     out = forward_frame(model, params)
     joints = joints_from_verts(j_reg_norm, out.vertices)
 
@@ -160,9 +171,19 @@ def stage_b_loss(
     l_j3d = j3d_loss(joints, data.gt_j3d)
 
     if cfg.use_silhouette and data.mask is not None:
-        l_sil = silhouette_loss(
-            model, out.vertices, params.cam_t, data.mask, cfg, bins=bins
-        )
+        def sil_fn(verts, cam_t):
+            return silhouette_loss(model, verts, cam_t, data.mask, cfg, bins=bins)
+
+        if sil_active is None:
+            l_sil = sil_fn(out.vertices, params.cam_t)
+        else:
+            stride = float(max(1, cfg.silhouette.step_stride))
+            l_sil = jax.lax.cond(
+                sil_active,
+                lambda v, c: sil_fn(v, c) * stride,
+                lambda v, c: jnp.zeros((v.shape[0],), v.dtype),
+                out.vertices, params.cam_t,
+            )
     else:
         l_sil = jnp.zeros_like(l_j3d)
 

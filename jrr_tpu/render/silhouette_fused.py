@@ -193,6 +193,13 @@ def _fused_bins_one(
     # F < 2¹⁴ faces ⇒ 26 bits): a single-array sort moves half the bytes of a
     # key+payload sort, and the TPU sort is the dominant binning cost.
     assert f < (1 << 14), "packed binning sort assumes < 16384 faces"
+    # The key side must also fit: (key << 14) needs max-key = 2·G²+1 < 2^17
+    # or the int32 pack silently overflows and corrupts binning (a 4096-px
+    # image at tile 16 would hit this).
+    assert 2 * g * g + 1 < (1 << 17), (
+        f"packed binning sort key overflows int32 for grid {g}x{g}; "
+        "use a larger tile_size or a wider pack"
+    )
     key = tile_id * 2 + jnp.where(core.reshape(-1) & (tile_id < g * g), 0, 1)
     face_id = jnp.broadcast_to(
         jnp.arange(f, dtype=jnp.int32)[:, None], (f, cap * cap)
@@ -845,13 +852,23 @@ def silhouette_sq_err_fused(
     The mask is supervision, not an optimization variable: it is
     stop-gradiented here so BOTH backends (this kernel and the XLA twin used
     off-TPU) expose identical zero mask-gradients by declaration.
+
+    Off-TPU this routes to the XLA twin (same page/index contract, autodiff
+    grads) like `silhouette_tiles_fused` does, so the entry point works on
+    any backend instead of failing obscurely inside Mosaic lowering.
     """
     bins, tx, ty, inv_sigma, blur_px2 = _prep_kernel_inputs(
         vertices_smpl, model, cam_t, spec, bins
     )
+    mask_tiles = jax.lax.stop_gradient(mask_tiles)
+    if jax.default_backend() != "tpu":
+        tiles = fused_tiles_alpha_xla(
+            tx, ty, bins.pages, bins.idx, bins.origin,
+            spec.tile_size, inv_sigma, blur_px2,
+        )
+        return jnp.mean((tiles - mask_tiles) ** 2, axis=(-1, -2))
     err = fused_sq_err(
-        tx, ty, bins.pages, bins.idx, bins.origin,
-        jax.lax.stop_gradient(mask_tiles),
+        tx, ty, bins.pages, bins.idx, bins.origin, mask_tiles,
         spec.tile_size, inv_sigma, blur_px2, dump_page_id(model.num_verts),
         spec.pallas_chunk, False,
     )

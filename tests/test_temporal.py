@@ -177,3 +177,67 @@ def test_converted_variables_drive_full_model():
     consumer = temporal.make_temporal_consumer(smpl_model, model, variables, seqlen=2)
     kp3d = consumer(jnp.zeros((2, 3, 64, 64)), jreg_lib.normalize_jreg(jnp.asarray(j)))
     assert kp3d.shape == (2, 17, 3) and np.isfinite(np.asarray(kp3d)).all()
+
+
+def test_sequence_consumer_real_temporal_context():
+    """TRUE video-sequence eval (reference: scripts/test.py:254-273): a
+    bidirectional GRU consumer on REAL sequences produces different frame-0
+    joints than single-frame tiled eval (future frames flow into frame 0
+    through the backward GRU), while on a constant sequence both modes agree
+    exactly — the adapters compute the same math."""
+    model = temporal.TemporalPoseModel(hidden_size=16, n_layers=1, bidirectional=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 3, 64, 64))
+    )
+    smpl_model = smpl_mod.synthetic_smpl_model(seed=0, num_verts=96, num_faces=120)
+    j = np.eye(17, 96, dtype=np.float32)
+    j_norm = jreg_lib.normalize_jreg(jnp.asarray(j))
+
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(1, 4, 3, 64, 64)).astype(np.float32))
+
+    seq_consumer = temporal.make_sequence_consumer(smpl_model, model, variables)
+    tiled_consumer = temporal.make_temporal_consumer(smpl_model, model, variables, seqlen=4)
+
+    kp_seq = seq_consumer(video, j_norm)  # (1, 4, 17, 3)
+    assert kp_seq.shape == (1, 4, 17, 3)
+    kp_tiled = tiled_consumer(video[:, 0], j_norm)  # (1, 17, 3)
+
+    # Real temporal context changes the frame-0 prediction.
+    assert float(jnp.abs(kp_seq[:, 0] - kp_tiled).max()) > 1e-5
+
+    # Constant sequence: both modes are the same computation.
+    const_video = jnp.repeat(video[:, :1], 4, axis=1)
+    kp_const = seq_consumer(const_video, j_norm)
+    np.testing.assert_allclose(
+        np.asarray(kp_const[:, 0]), np.asarray(kp_tiled), atol=1e-5
+    )
+
+
+def test_evaluate_consumer_sequences_harness():
+    """Chunking + frame selection semantics of the sequence-mode harness:
+    self-consistent GT gives ~zero after-error; leftover frames are dropped
+    like the reference's seqlen chunking."""
+    model = temporal.TemporalPoseModel(hidden_size=16, n_layers=1, bidirectional=True)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 2, 3, 64, 64)))
+    smpl_model = smpl_mod.synthetic_smpl_model(seed=0, num_verts=96, num_faces=120)
+    j = np.eye(17, 96, dtype=np.float32)
+    j_norm = jreg_lib.normalize_jreg(jnp.asarray(j))
+
+    rng = np.random.default_rng(1)
+    frames = rng.normal(size=(5, 3, 64, 64)).astype(np.float32)  # 2 chunks of 2 + 1 dropped
+    seq_consumer = temporal.make_sequence_consumer(smpl_model, model, variables)
+
+    video = jnp.asarray(frames[:4].reshape(2, 2, 3, 64, 64))
+    kp = seq_consumer(video, j_norm)  # (2, 2, 17, 3)
+    gt = np.zeros((5, 17, 3), np.float32)
+    gt[0] = np.asarray(kp[0, 0]) * 1000.0
+    gt[2] = np.asarray(kp[1, 0]) * 1000.0
+
+    res = harness.evaluate_consumer_sequences(
+        seq_consumer,
+        [{"spin_image": frames, "gt_j3d": gt}],
+        jnp.asarray(j), jnp.asarray(j), seqlen=2, frame_index=0,
+    )
+    assert res.after.num_frames == 2  # 2 chunks scored, 5th frame dropped
+    assert res.after.mpjpe < 1e-3

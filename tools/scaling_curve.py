@@ -44,7 +44,7 @@ def main() -> None:
         if n > avail:
             print(json.dumps({"devices": n, "skipped": f"only {avail} available"}))
             continue
-        batch = max(2 * n, 4)
+        batch = 4 * n  # constant per-device load → flat curve = ideal scaling
         size = dict(num_verts=6890, image_size=224) if args.full_size else dict(
             num_verts=96, image_size=32
         )

@@ -1,0 +1,170 @@
+"""Silhouette-supervision quality probe at production settings.
+
+VERDICT r2 item 2: the default config is the reference's σ=1e-4 /
+blur_radius=0 (reference: scripts/mesh_renderer.py:28-38 BlendParams +
+raster blur), where coverage gradients exist only in a ~1-2 px band INSIDE
+each edge — the mask cannot pull the mesh outward. This probe measures, on the
+full-size body model, whether the silhouette term actually HELPS, and which
+blur_radius to ship as the validated default.
+
+Protocol (per supervision regime):
+  GT params → GT mask (σ=1e-4/blur=0 render, thresholded to a hard mask like
+  a Mask-RCNN output); init = GT + perturbation (incl. a deliberate shape
+  mismatch the 17 joints alone cannot pin down). Run the two-stage engine
+  under each config and report:
+    - mpjpe_mm: final regressed-joint error vs GT joints;
+    - vert_mm: final mean per-vertex error vs GT vertices (the SHAPE metric
+      silhouette supervision is supposed to move);
+    - sil_mse: mean sq. silhouette error of the final vertices, rendered at
+      the FIXED evaluation spec (σ=1e-4, blur=0) for cross-config comparability;
+    - iou: hard-silhouette IoU at threshold 0.5.
+
+Regimes:
+  production  — the reference's five-term weights (j3d 1e4 dominates; shows
+                the term does not hurt, and what it adds on top);
+  no_j3d      — j3d weight 0 (mocap-less frames): j2d + silhouette must carry
+                the shape/depth signal; isolates the silhouette contribution.
+
+Usage: python tools/silhouette_quality.py [--batch 32] [--image 224]
+Writes one JSON line per (regime, config) and a final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--image", type=int, default=224)
+    ap.add_argument("--num-verts", type=int, default=6890)
+    ap.add_argument("--stage-a", type=int, default=200)
+    ap.add_argument("--stage-b", type=int, default=100)
+    ap.add_argument("--betas-perturb", type=float, default=0.6)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from jrr_tpu.models import discriminator as disc_lib
+    from jrr_tpu.refine import engine, losses
+    from jrr_tpu.render import silhouette_fused as sf
+
+    model, j_reg, cfg0, init, data, gt_params, gt_verts = ge._synthetic_problem(
+        batch=args.batch, num_verts=args.num_verts, image_size=args.image,
+        return_gt=True,
+        # Deliberate SHAPE mismatch: betas off by a lot — 17 joints cannot
+        # pin down limb girth; the silhouette can.
+        perturb=(0.03, 0.02, args.betas_perturb, 0.05),
+    )
+    # Hard GT mask (like Mask-RCNN output): threshold the soft render.
+    data = data._replace(mask=(data.mask > 0.5).astype(jnp.float32))
+
+    from jrr_tpu.ops import jreg as jreg_lib
+
+    j_norm = jreg_lib.normalize_jreg(j_reg)
+    gt_joints = jreg_lib.apply_jreg(j_norm, gt_verts)
+    pose_disc = disc_lib.init_pose_discriminator(jax.random.PRNGKey(7))
+    shape_disc = disc_lib.init_shape_discriminator(jax.random.PRNGKey(8))
+
+    eval_spec = losses.rasterizer_spec(cfg0.refiner)  # σ=1e-4, blur=0
+
+    def make_run(rcfg):
+        # rcfg is a static closure (configs aren't pytrees); each config is
+        # its own compile regardless. Big arrays all ride as jit arguments.
+        return jax.jit(
+            lambda mdl, jr, i, d, pd, sd: engine.refine_batch(
+                mdl, jr, i, d, rcfg, pd, sd
+            )
+        )
+
+    @jax.jit
+    def score(mdl, verts, cam_t, gt_v, gt_j, mask):
+        vert_mm = jnp.mean(jnp.linalg.norm(verts - gt_v, axis=-1)) * 1000.0
+        joints = jreg_lib.apply_jreg(j_norm, verts)
+        mpjpe = jnp.mean(jnp.linalg.norm(joints - gt_j, axis=-1)) * 1000.0
+        tiles = sf.silhouette_tiles_fused(verts, mdl, cam_t, eval_spec)
+        mask_t = sf.image_to_tiles(mask, eval_spec.tile_size)
+        sil_mse = jnp.mean((tiles - mask_t) ** 2)
+        hard = tiles > 0.5
+        hm = mask_t > 0.5
+        iou = jnp.sum(hard & hm) / jnp.maximum(jnp.sum(hard | hm), 1)
+        return mpjpe, vert_mm, sil_mse, iou
+
+    def config(use_sil, blur, j3d_w):
+        r = cfg0.refiner
+        return dataclasses.replace(
+            r,
+            stage_a_steps=args.stage_a, stage_b_steps=args.stage_b,
+            use_silhouette=use_sil,
+            silhouette=dataclasses.replace(r.silhouette, blur_radius=blur),
+            loss_weights=dataclasses.replace(r.loss_weights, j3d=j3d_w),
+        )
+
+    sweeps = [("no_sil", False, 0.0), ("blur_0", True, 0.0),
+              ("blur_1e-5", True, 1e-5), ("blur_1e-4", True, 1e-4),
+              ("blur_1e-3", True, 1e-3)]
+    regimes = [("production", 1e4), ("no_j3d", 0.0)]
+
+    # Init-state scores for context.
+    out0 = losses.forward_frame(model, init)
+    m0 = score(model, out0.vertices, init.cam_t, gt_verts, gt_joints, data.mask)
+    print(json.dumps({
+        "config": "init", "mpjpe_mm": float(m0[0]), "vert_mm": float(m0[1]),
+        "sil_mse": float(m0[2]), "iou": float(m0[3]),
+    }), flush=True)
+
+    results = {}
+    for regime, j3d_w in regimes:
+        for name, use_sil, blur in sweeps:
+            rcfg = config(use_sil, blur, j3d_w)
+            run = make_run(rcfg)
+            t0 = time.perf_counter()
+            res = run(model, j_reg, init, data, pose_disc, shape_disc)
+            jax.block_until_ready(res.params)
+            dt = time.perf_counter() - t0
+            mp, vm, sm, iou = score(
+                model, res.vertices, res.params.cam_t, gt_verts, gt_joints,
+                data.mask,
+            )
+            rec = {
+                "regime": regime, "config": name, "blur_radius": blur,
+                "mpjpe_mm": round(float(mp), 3), "vert_mm": round(float(vm), 3),
+                "sil_mse": round(float(sm), 6), "iou": round(float(iou), 4),
+                "seconds": round(dt, 1),
+            }
+            results[(regime, name)] = rec
+            print(json.dumps(rec), flush=True)
+
+    # Summary: does silhouette help, and which blur wins on vert_mm?
+    for regime, _ in regimes:
+        base = results[(regime, "no_sil")]
+        best = min(
+            (r for (rg, n), r in results.items() if rg == regime and n != "no_sil"),
+            key=lambda r: r["vert_mm"],
+        )
+        print(json.dumps({
+            "summary": regime,
+            "no_sil_vert_mm": base["vert_mm"],
+            "best_config": best["config"],
+            "best_vert_mm": best["vert_mm"],
+            "helps": best["vert_mm"] < base["vert_mm"],
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
