@@ -6,7 +6,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from jrr_tpu.config import RefinerConfig, SilhouetteConfig
+from jrr_tpu.config import CameraConfig, RefinerConfig, SilhouetteConfig
 from jrr_tpu.models import smpl as smpl_mod
 from jrr_tpu.ops import jreg as jreg_lib, rotations
 from jrr_tpu.render import silhouette as S
@@ -49,10 +49,15 @@ def _problem(batch=2, seed=0):
 
 
 def _cfg(rebin):
+    # Camera and silhouette share the 32-px working resolution: with a 224
+    # camera the silhouette focal would scale 32/224 (same-frustum rule in
+    # losses.rasterizer_spec) and the 160-face body would pack into a couple
+    # of tiles, overflowing K with rebin-timing-dependent truncation.
     return dataclasses.replace(
         RefinerConfig(),
         stage_a_steps=5, stage_b_steps=20,
         use_discriminators=False,
+        camera=CameraConfig(image_size=32),
         silhouette=SilhouetteConfig(
             image_size=32, tile_size=8, faces_per_tile=96, sigma=5e-3,
             blur_radius=0.05, rebin_interval=rebin, bin_margin_px=4.0,

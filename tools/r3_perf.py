@@ -1,0 +1,136 @@
+"""Round-3 perf experiments: full bench-shaped program under config variants.
+
+Times the SAME workload as bench.py (one jitted 1000 stage-A + 100 five-term
+stage-B program, full-size model, batch 256) for a list of rasterizer config
+variants, so each optimization lands with a measured number (BASELINE.md
+round-3 table):
+
+  baseline     — the shipped defaults
+  cap3         — max_tiles_per_face 4 → 3 (smaller binning sort: F·cap² keys)
+  interval30   — rebin every 30 steps, margin 8 px
+  stride2      — silhouette term every 2nd stage-B step (weight ×2)
+  combo        — best-of combination (edit LIST as measurements arrive)
+
+Also prints the final-step mean silhouette loss per variant as a first-order
+quality tripwire (full quality probing: tools/silhouette_quality.py).
+
+Usage: python tools/r3_perf.py [--batch 256] [--variants baseline stride2 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+BATCH = 256
+STAGE_A = 1000
+STAGE_B = 100
+
+
+def variants(r):
+    sil = r.silhouette
+    return {
+        "baseline": r,  # the shipped defaults (r3: blur 1e-4, stride 2)
+        "ref_exact": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, blur_radius=0.0, step_stride=1
+            )
+        ),
+        "cap3": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, max_tiles_per_face=3)
+        ),
+        "cap3_margin4": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, max_tiles_per_face=3, bin_margin_px=4.0, rebin_interval=10
+            )
+        ),
+        "interval25": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, rebin_interval=25)
+        ),
+        "stride2": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, step_stride=2)
+        ),
+        "stride4": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, step_stride=4)
+        ),
+        "stride2_interval50": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, step_stride=2, rebin_interval=50, bin_margin_px=8.0
+            )
+        ),
+        "stride4_interval50": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, step_stride=4, rebin_interval=50, bin_margin_px=8.0
+            )
+        ),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--variants", nargs="+", default=["baseline", "cap3", "stride2"])
+    args = ap.parse_args()
+
+    import jax
+
+    import __graft_entry__ as ge
+    from jrr_tpu.models import discriminator as disc_lib
+    from jrr_tpu.refine import engine
+
+    model, j_reg, cfg, init, data = ge._synthetic_problem(
+        batch=args.batch, num_verts=6890, image_size=224
+    )
+    pose_disc = disc_lib.init_pose_discriminator(jax.random.PRNGKey(7))
+    shape_disc = disc_lib.init_shape_discriminator(jax.random.PRNGKey(8))
+
+    base = dataclasses.replace(
+        cfg.refiner, stage_a_steps=STAGE_A, stage_b_steps=STAGE_B
+    )
+    table = variants(base)
+
+    for name in args.variants:
+        rcfg = table[name]
+        fn = jax.jit(
+            lambda mdl, jr, i, d, pd, sd, _r=rcfg: engine.refine_batch(
+                mdl, jr, i, d, _r, pd, sd
+            )
+        )
+        t0 = time.perf_counter()
+        out = fn(model, j_reg, init, data, pose_disc, shape_disc)
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = fn(model, j_reg, init, data, pose_disc, shape_disc)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+
+        import numpy as np
+
+        # Last ACTIVE silhouette step (striding zeroes inactive steps; active
+        # ones carry weight ×stride — undo it for comparability).
+        sil_t = np.asarray(out.stage_b_terms.silhouette)
+        nz = np.nonzero(sil_t)[0]
+        stride = max(1, rcfg.silhouette.step_stride)
+        sil_final = float(sil_t[nz[-1]]) / stride if len(nz) else 0.0
+        dropped = (
+            int(out.bin_stats.total_dropped()) if out.bin_stats is not None else -1
+        )
+        print(json.dumps({
+            "variant": name,
+            "frames_per_sec": round(args.batch / dt, 3),
+            "seconds": round(dt, 2),
+            "compile_s": round(compile_s - dt, 1),
+            "sil_loss_final": round(sil_final, 6),
+            "bin_dropped": dropped,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,10 @@ def main() -> None:
         if n > avail:
             print(json.dumps({"devices": n, "skipped": f"only {avail} available"}))
             continue
-        batch = 4 * n  # constant per-device load → flat curve = ideal scaling
+        # Constant per-device load → flat curve = ideal scaling. Full-size
+        # drops to 1 frame/device: the point there is compile+execute+partition
+        # at real shapes, and a virtual CPU mesh is far too slow for more.
+        batch = n if args.full_size else 4 * n
         size = dict(num_verts=6890, image_size=224) if args.full_size else dict(
             num_verts=96, image_size=32
         )

@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--stage-b", type=int, default=100)
     ap.add_argument("--betas-perturb", type=float, default=0.6)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--configs", nargs="+", default=None,
+                    help="subset of sweep configs to run (default: all)")
+    ap.add_argument("--regimes", nargs="+", default=None,
+                    help="subset of regimes (production, no_j3d)")
     args = ap.parse_args()
 
     import jax
@@ -105,20 +109,29 @@ def main():
         iou = jnp.sum(hard & hm) / jnp.maximum(jnp.sum(hard | hm), 1)
         return mpjpe, vert_mm, sil_mse, iou
 
-    def config(use_sil, blur, j3d_w):
+    def config(use_sil, blur, j3d_w, stride=1):
         r = cfg0.refiner
         return dataclasses.replace(
             r,
             stage_a_steps=args.stage_a, stage_b_steps=args.stage_b,
             use_silhouette=use_sil,
-            silhouette=dataclasses.replace(r.silhouette, blur_radius=blur),
+            silhouette=dataclasses.replace(
+                r.silhouette, blur_radius=blur, step_stride=stride
+            ),
             loss_weights=dataclasses.replace(r.loss_weights, j3d=j3d_w),
         )
 
-    sweeps = [("no_sil", False, 0.0), ("blur_0", True, 0.0),
-              ("blur_1e-5", True, 1e-5), ("blur_1e-4", True, 1e-4),
-              ("blur_1e-3", True, 1e-3)]
-    regimes = [("production", 1e4), ("no_j3d", 0.0)]
+    all_sweeps = [
+        ("no_sil", False, 0.0, 1), ("blur_0", True, 0.0, 1),
+        ("blur_1e-5", True, 1e-5, 1), ("blur_1e-4", True, 1e-4, 1),
+        ("blur_1e-3", True, 1e-3, 1),
+        # Step-striding quality probes (perf win measured in tools/r3_perf.py).
+        ("stride2", True, 0.0, 2), ("stride4", True, 0.0, 4),
+        ("stride2_blur_1e-4", True, 1e-4, 2),
+    ]
+    sweeps = [s for s in all_sweeps if args.configs is None or s[0] in args.configs]
+    all_regimes = [("production", 1e4), ("no_j3d", 0.0)]
+    regimes = [r for r in all_regimes if args.regimes is None or r[0] in args.regimes]
 
     # Init-state scores for context.
     out0 = losses.forward_frame(model, init)
@@ -130,8 +143,8 @@ def main():
 
     results = {}
     for regime, j3d_w in regimes:
-        for name, use_sil, blur in sweeps:
-            rcfg = config(use_sil, blur, j3d_w)
+        for name, use_sil, blur, stride in sweeps:
+            rcfg = config(use_sil, blur, j3d_w, stride)
             run = make_run(rcfg)
             t0 = time.perf_counter()
             res = run(model, j_reg, init, data, pose_disc, shape_disc)
@@ -152,6 +165,8 @@ def main():
 
     # Summary: does silhouette help, and which blur wins on vert_mm?
     for regime, _ in regimes:
+        if (regime, "no_sil") not in results:
+            continue
         base = results[(regime, "no_sil")]
         best = min(
             (r for (rg, n), r in results.items() if rg == regime and n != "no_sil"),
