@@ -47,12 +47,16 @@ class SilhouetteConfig:
     # step). Vertices drift by fractions of a pixel per Adam step, so with
     # `bin_margin_px` of slack the lists stay covering — binning cost
     # amortizes away.
-    # Defaults set by a TPU quality probe (BASELINE.md round-2 table): at
-    # interval 20 / margin 6 the final silhouette loss matches per-step
-    # binning within 0.3% while binning cost drops 2×; margin-only candidates
-    # sort behind intersecting ones, so extra slack never evicts coverage.
-    rebin_interval: int = 20
-    bin_margin_px: float = 6.0
+    # Defaults set by TPU quality probes: round 2 measured interval 20 /
+    # margin 6 matching per-step binning within 0.3% final silhouette loss;
+    # the round-3 full-size production probe (tools/silhouette_quality.py,
+    # BASELINE.md round-3 table) then validated interval 50 / margin 8 at
+    # quality parity (MPJPE 9.39 vs 9.5 mm, IoU 0.75 vs 0.69) while cutting
+    # amortized binning cost 2.5× (32.6 → ~42 frames/s/chip with stride 2).
+    # Margin-only candidates sort behind intersecting ones, so extra slack
+    # never evicts coverage.
+    rebin_interval: int = 50
+    bin_margin_px: float = 8.0
     # Max tiles per axis a face's padded bbox may span in sort-based binning.
     max_tiles_per_face: int = 4
     # Fused page-gather rasterizer: vertex pages per tile (incl. dump slot).

@@ -59,21 +59,27 @@ class BeforeAfter:
 
 
 class _MeanAccumulator:
+    """Uniform mean of per-batch means, reference-exact: scripts/test.py
+    accumulates `np.mean(error)` per batch and divides by the batch count
+    (reference: scripts/test.py:125-138). Identical to frame-weighting when
+    batches are equal-sized; for a ragged last batch the reference's
+    convention is kept so printed numbers match digit-for-digit."""
+
     def __init__(self):
         self.mpjpe_sum = 0.0
         self.pampjpe_sum = 0.0
         self.n = 0
+        self.batches = 0
 
     def add(self, errors: metrics_lib.PoseErrors, count: int):
-        # Reference averages per-batch means uniformly (scripts/test.py:125-138);
-        # we weight by frame count (exact when batches are equal-sized).
-        self.mpjpe_sum += float(jnp.sum(errors.per_frame_mpjpe))
-        self.pampjpe_sum += float(jnp.sum(errors.per_frame_pa_mpjpe))
+        self.mpjpe_sum += float(jnp.mean(errors.per_frame_mpjpe))
+        self.pampjpe_sum += float(jnp.mean(errors.per_frame_pa_mpjpe))
         self.n += count
+        self.batches += 1
 
     def result(self) -> EvalResult:
-        n = max(self.n, 1)
-        return EvalResult(self.mpjpe_sum / n, self.pampjpe_sum / n, self.n)
+        b = max(self.batches, 1)
+        return EvalResult(self.mpjpe_sum / b, self.pampjpe_sum / b, self.n)
 
 
 @jax.jit

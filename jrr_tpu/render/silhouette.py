@@ -343,7 +343,11 @@ def _tiles_alpha_xla(origin, tri, valid, tile, inv_sigma, blur_px2):
     sd2 = jnp.where(inside, -dmin, dmin)
     p = jax.nn.sigmoid(-sd2 * inv_sigma)
     p = jnp.where((sd2 <= blur_px2) & (valid[:, 0:1, :] > 0), p, 0.0)
-    return 1.0 - jnp.exp(jnp.sum(jnp.log(jnp.maximum(1.0 - p, 1e-30)), axis=-1))
+    from jrr_tpu.render import silhouette_pallas as sp
+
+    # Same exp(Σlog) lane product as the kernels so kernel-vs-twin
+    # forwards stay bit-exact.
+    return 1.0 - sp._lane_prod(jnp.maximum(1.0 - p, 1e-30))
 
 
 def render_silhouette(

@@ -427,7 +427,7 @@ def _fused_fwd_kernel(
                 px_x, px_y, rows, inv_sigma=inv_sigma, blur_px2=blur_px2
             )
             one_minus = jnp.maximum(1.0 - p, 1e-30)
-            out_ref[c, :] = 1.0 - jnp.exp(jnp.sum(jnp.log(one_minus), axis=1))
+            out_ref[c, :] = 1.0 - sp._lane_prod(one_minus)
 
 
 def _split_hi_lo(v):
@@ -711,7 +711,7 @@ def _fused_lossgrad_kernel(
                 px_x, px_y, rows, inv_sigma=inv_sigma, blur_px2=blur_px2
             )
             one_minus = jnp.maximum(1.0 - p, 1e-30)
-            total = jnp.exp(jnp.sum(jnp.log(one_minus), axis=1, keepdims=True))
+            total = sp._lane_prod(one_minus, keepdims=True)
             alpha = 1.0 - total  # (T², 1)
             diff = alpha - mask_row
             sub = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)

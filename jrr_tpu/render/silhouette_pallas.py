@@ -39,19 +39,39 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _edge_terms(px_x, px_y, ax, ay, bx, by):
-    """Returns (cross, t, rx, ry, d2) for one edge, shapes (T², K)."""
+    """Returns (cross, t, rx, ry, d2) for one edge, shapes (T², K).
+
+    len2 depends only on the corner rows (1, K), so its reciprocal is
+    computed once per row and broadcast — a (T², K) divide (multi-pass on
+    the VPU) becomes a (1, K) reciprocal + (T², K) multiply."""
     ex = bx - ax
     ey = by - ay
     qx = px_x - ax
     qy = px_y - ay
     cross = ex * qy - ey * qx
-    len2 = ex * ex + ey * ey
-    t = (qx * ex + qy * ey) / jnp.maximum(len2, 1e-12)
+    inv_len2 = 1.0 / jnp.maximum(ex * ex + ey * ey, 1e-12)  # (1, K)
+    t = (qx * ex + qy * ey) * inv_len2
     t = jnp.clip(t, 0.0, 1.0)
     rx = qx - t * ex
     ry = qy - t * ey
     d2 = rx * rx + ry * ry
     return cross, t, rx, ry, d2
+
+
+def _lane_prod(x, *, keepdims=False):
+    """Π over the lane (last) axis as exp(Σ log x); x must be > 0 (callers
+    clamp 1−p to ≥1e-30). Shared by the Mosaic kernels AND the XLA twins so
+    kernel-vs-twin forwards stay bit-exact (KERNELPAR fwd_max_abs = 0.0).
+
+    Measured negative result (keep log/exp): a transcendental-free
+    `pltpu.roll` rotate-multiply doubling tree (7 full-vreg roll+mul steps
+    for 128 lanes, bit-identical across Mosaic/interpret/XLA) was 3× SLOWER
+    in the one-pass loss+grad kernel — 1.22 vs 0.39 ms/frame at full size
+    (tools/fused_probe.py), 41.5 → 25.1 frames/s/chip end-to-end. Cross-lane
+    rolls cost far more per op than pipelined transcendentals on the VPU;
+    narrowing halving-slice trees were ~2× slower again (sub-128-lane
+    relayouts per step)."""
+    return jnp.exp(jnp.sum(jnp.log(x), axis=-1, keepdims=keepdims))
 
 
 def _pixel_coords(origin_ref, c, t2, tile, k_pad):
@@ -103,8 +123,7 @@ def _corner_row_grads(g, p, dmin, inside, edges, *, inv_sigma, k_pad, total=None
     """
     one_minus = jnp.maximum(1.0 - p, 1e-30)
     if total is None:
-        log_total = jnp.sum(jnp.log(one_minus), axis=1, keepdims=True)
-        total = jnp.exp(log_total)  # (T², 1) = Π(1−p)
+        total = _lane_prod(one_minus, keepdims=True)  # (T², 1) = Π(1−p)
 
     dl_dp = g * total / one_minus
     dl_dsd2 = dl_dp * (-inv_sigma) * p * (1.0 - p)
@@ -113,7 +132,12 @@ def _corner_row_grads(g, p, dmin, inside, edges, *, inv_sigma, k_pad, total=None
     d0, d1, d2 = edges[0][4], edges[1][4], edges[2][4]
     tol = 1e-4 * (1.0 + dmin)
     sel = tuple((d_e <= dmin + tol).astype(jnp.float32) for d_e in (d0, d1, d2))
-    route = dl_ddmin / (sel[0] + sel[1] + sel[2])
+    # nsel ∈ {1, 2, 3}: replace the (T², K) divide with two selects.
+    nsel = sel[0] + sel[1] + sel[2]
+    inv_nsel = jnp.where(
+        nsel <= 1.0, 1.0, jnp.where(nsel <= 2.0, 0.5, 1.0 / 3.0)
+    )
+    route = dl_ddmin * inv_nsel
     acc = [jnp.zeros((1, k_pad), jnp.float32) for _ in range(6)]  # ax ay bx by cx cy
     ends = ((0, 2), (2, 4), (4, 0))  # corner slots per edge: (A,B), (B,C), (C,A)
     for e in range(3):
@@ -148,10 +172,10 @@ def _fwd_kernel(origin_ref, tri_ref, valid_ref, out_ref, *, tile, k_pad, inv_sig
             tri_ref, valid_ref, origin_ref, c,
             tile=tile, k_pad=k_pad, inv_sigma=inv_sigma, blur_px2=blur_px2,
         )
-        # α = 1 − Π(1−p) via exp-sum-log (log-arg clamped; saturated faces
-        # drive the product to 0 exactly as prod would).
+        # α = 1 − Π(1−p) (log-arg clamped; saturated faces drive the product
+        # to 0 exactly as prod would).
         one_minus = jnp.maximum(1.0 - p, 1e-30)
-        alpha = 1.0 - jnp.exp(jnp.sum(jnp.log(one_minus), axis=1))
+        alpha = 1.0 - _lane_prod(one_minus)
         out_ref[c, :] = alpha
 
 

@@ -53,6 +53,23 @@ class TestHarness:
         assert res.before.num_frames == 8
         assert "MPJPE" in res.summary()
 
+    def test_ragged_batches_use_reference_batch_mean(self):
+        """Uniform mean of per-batch means (reference: scripts/test.py:125-138),
+        NOT frame-weighted — a ragged last batch must match the reference's
+        printed convention digit-for-digit."""
+        model, j_true, j_bad = _model_and_regressors()
+        big = _prediction_batches(model, j_true, n_batches=1, batch=6, seed=1)
+        small = _prediction_batches(model, j_true, n_batches=1, batch=2, seed=9)
+        res = harness.evaluate_regressor_pair(model, big + small, j_bad, j_true)
+
+        def batch_mean(b):
+            r = harness.evaluate_regressor_pair(model, [b], j_bad, j_true)
+            return r.before.mpjpe
+
+        expected = (batch_mean(big[0]) + batch_mean(small[0])) / 2.0
+        assert res.before.num_frames == 8
+        np.testing.assert_allclose(res.before.mpjpe, expected, rtol=1e-6)
+
     def test_consumer_adapter(self):
         model, j_true, j_bad = _model_and_regressors()
         preds = _prediction_batches(model, j_true, n_batches=1)

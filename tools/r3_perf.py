@@ -68,6 +68,13 @@ def variants(r):
                 sil, step_stride=4, rebin_interval=50, bin_margin_px=8.0
             )
         ),
+        # Single rebin for the whole stage-B schedule (margin must absorb the
+        # full 100-step drift).
+        "interval100_margin12": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, rebin_interval=100, bin_margin_px=12.0
+            )
+        ),
     }
 
 

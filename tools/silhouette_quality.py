@@ -109,25 +109,30 @@ def main():
         iou = jnp.sum(hard & hm) / jnp.maximum(jnp.sum(hard | hm), 1)
         return mpjpe, vert_mm, sil_mse, iou
 
-    def config(use_sil, blur, j3d_w, stride=1):
+    def config(use_sil, blur, j3d_w, stride=1, **sil_extra):
         r = cfg0.refiner
         return dataclasses.replace(
             r,
             stage_a_steps=args.stage_a, stage_b_steps=args.stage_b,
             use_silhouette=use_sil,
             silhouette=dataclasses.replace(
-                r.silhouette, blur_radius=blur, step_stride=stride
+                r.silhouette, blur_radius=blur, step_stride=stride, **sil_extra
             ),
             loss_weights=dataclasses.replace(r.loss_weights, j3d=j3d_w),
         )
 
     all_sweeps = [
-        ("no_sil", False, 0.0, 1), ("blur_0", True, 0.0, 1),
-        ("blur_1e-5", True, 1e-5, 1), ("blur_1e-4", True, 1e-4, 1),
-        ("blur_1e-3", True, 1e-3, 1),
-        # Step-striding quality probes (perf win measured in tools/r3_perf.py).
-        ("stride2", True, 0.0, 2), ("stride4", True, 0.0, 4),
-        ("stride2_blur_1e-4", True, 1e-4, 2),
+        ("no_sil", False, 0.0, 1, {}), ("blur_0", True, 0.0, 1, {}),
+        ("blur_1e-5", True, 1e-5, 1, {}), ("blur_1e-4", True, 1e-4, 1, {}),
+        ("blur_1e-3", True, 1e-3, 1, {}),
+        # Step-striding / rebin-interval quality probes (perf wins measured
+        # in tools/r3_perf.py).
+        ("stride2", True, 0.0, 2, {}), ("stride4", True, 0.0, 4, {}),
+        ("stride2_blur_1e-4", True, 1e-4, 2, {}),
+        ("stride2_blur_1e-4_i50", True, 1e-4, 2,
+         dict(rebin_interval=50, bin_margin_px=8.0)),
+        ("stride2_blur_1e-4_i100", True, 1e-4, 2,
+         dict(rebin_interval=100, bin_margin_px=12.0)),
     ]
     sweeps = [s for s in all_sweeps if args.configs is None or s[0] in args.configs]
     all_regimes = [("production", 1e4), ("no_j3d", 0.0)]
@@ -143,8 +148,8 @@ def main():
 
     results = {}
     for regime, j3d_w in regimes:
-        for name, use_sil, blur, stride in sweeps:
-            rcfg = config(use_sil, blur, j3d_w, stride)
+        for name, use_sil, blur, stride, sil_extra in sweeps:
+            rcfg = config(use_sil, blur, j3d_w, stride, **sil_extra)
             run = make_run(rcfg)
             t0 = time.perf_counter()
             res = run(model, j_reg, init, data, pose_disc, shape_disc)
