@@ -241,15 +241,19 @@ def make_temporal_consumer(smpl_model, model: TemporalPoseModel, variables, seql
     from jrr_tpu.models import smpl as smpl_fwd
     from jrr_tpu.ops import jreg as jreg_lib
 
+    # Big arrays as jit ARGUMENTS (axon closure-capture rule, CLAUDE.md).
     @jax.jit
-    def consumer(spin_image, j_regressor):
+    def _consumer(vs, mdl, spin_image, j_regressor):
         video = jnp.repeat(spin_image[:, None], seqlen, axis=1)
-        pose6d, betas, _ = model.apply(variables, video, train=False)
+        pose6d, betas, _ = model.apply(vs, video, train=False)
         pose6d = pose6d[:, 0]
         betas = betas[:, 0]
         rotm = rotations.rot6d_to_rotmat(pose6d)
-        out = smpl_fwd.smpl_forward(smpl_model, betas, rotm[:, :1], rotm[:, 1:])
+        out = smpl_fwd.smpl_forward(mdl, betas, rotm[:, :1], rotm[:, 1:])
         return jreg_lib.apply_jreg(j_regressor, out.vertices)
+
+    def consumer(spin_image, j_regressor):
+        return _consumer(variables, smpl_model, spin_image, j_regressor)
 
     return consumer
 
@@ -269,15 +273,21 @@ def make_sequence_consumer(smpl_model, model, variables):
     from jrr_tpu.models import smpl as smpl_fwd
     from jrr_tpu.ops import jreg as jreg_lib
 
+    # Big arrays (model variables, SMPL tables) ride as jit ARGUMENTS, not
+    # closure captures — axon lowering re-fetches captured device arrays
+    # through the tunnel on every compile (CLAUDE.md).
     @jax.jit
-    def consumer(video, j_regressor):
+    def _consumer(vs, mdl, video, j_regressor):
         c, t = video.shape[:2]
-        pose6d, betas, _ = model.apply(variables, video, train=False)
+        pose6d, betas, _ = model.apply(vs, video, train=False)
         rotm = rotations.rot6d_to_rotmat(pose6d.reshape(c * t, 24, 6))
         out = smpl_fwd.smpl_forward(
-            smpl_model, betas.reshape(c * t, 10), rotm[:, :1], rotm[:, 1:]
+            mdl, betas.reshape(c * t, 10), rotm[:, :1], rotm[:, 1:]
         )
         joints = jreg_lib.apply_jreg(j_regressor, out.vertices)
         return joints.reshape((c, t) + joints.shape[1:])
+
+    def consumer(video, j_regressor):
+        return _consumer(variables, smpl_model, video, j_regressor)
 
     return consumer

@@ -53,7 +53,10 @@ def _batch_to_device_inputs(batch: Dict[str, np.ndarray], spin_fn=None, cfg=None
     mask = batch.get("mask_rcnn")
     if mask is not None and mask.ndim == 4:
         mask = mask[:, 0]
-    if mask is not None and cfg is not None:
+    if mask is not None and cfg is not None and cfg.refiner.use_silhouette:
+        # Pool only when the term is live: with use_silhouette=False the mask
+        # is never rendered against, so a non-divisible --silhouette-size
+        # must not fail the run.
         target = cfg.refiner.silhouette.image_size
         src = mask.shape[-1]
         if src != target:
@@ -437,13 +440,18 @@ def run_pipeline(
                 betas = batch["betas"]
             yield {"pose6d": pose6d, "betas": betas, "gt_j3d": batch["gt_j3d"]}
 
+    # Materialize once: both regressor pairs are scored on the SAME
+    # predictions, and with a live spin_fn a second generator pass would
+    # re-run the ResNet-50 over the whole eval split.
+    preds = list(predictions())
+
     before_after = harness.evaluate_regressor_pair(
-        model, predictions(), jnp.asarray(j_reg_initial), jnp.asarray(j_reg_final)
+        model, preds, jnp.asarray(j_reg_initial), jnp.asarray(j_reg_final)
     )
     print(before_after.summary())
 
     lstsq_pair = harness.evaluate_regressor_pair(
-        model, predictions(), jnp.asarray(j_reg_initial), jnp.asarray(j_reg_lstsq)
+        model, preds, jnp.asarray(j_reg_initial), jnp.asarray(j_reg_lstsq)
     )
     print(
         f"\nafter (lstsq fit)\nMPJPE\n{lstsq_pair.after.mpjpe:.4f}\n"

@@ -56,7 +56,10 @@ def _run(problem, use_sil, blur, j3d_w, steps=(50, 60)):
     res = engine.refine_batch(model, j_reg, init, data, rcfg)
     vert_mm = float(jnp.mean(jnp.linalg.norm(res.vertices - gt_verts, axis=-1))) * 1000.0
 
-    spec = losses.rasterizer_spec(r)  # fixed eval spec: σ=1e-4, blur=0
+    # Fixed eval spec pinned to σ=1e-4, blur=0 — NOT inherited from the
+    # shipped training default (blur 1e-4 since round 3), which would score
+    # blur-trained configs on their own objective and bias the comparison.
+    spec = losses.rasterizer_spec(r)._replace(blur_radius=0.0)
     tiles = sf.silhouette_tiles_fused(res.vertices, model, res.params.cam_t, spec)
     mask_t = sf.image_to_tiles(data.mask, spec.tile_size)
     sil_mse = float(jnp.mean((tiles - mask_t) ** 2))

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--threads", type=int, default=0, help="0 = hardware count")
     ap.add_argument("--root", default=None, help="existing dataset root (else fixtures)")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--device-rate", type=float, default=41.3,
+                    help="benched frames/s/chip the host must feed (BASELINE.md)")
     args = ap.parse_args()
 
     import jax
@@ -90,11 +92,16 @@ def main():
         "frames": args.frames, "batch": args.batch,
     }), flush=True)
 
+    # Device rate per chip = the CURRENT bench.py number (BASELINE.md);
+    # override with --device-rate when the bench moves so this gate never
+    # silently compares against a stale figure.
+    demand = 8 * args.device_rate
     print(json.dumps({
         "summary": "host_loader",
         "native_over_python": round(results["native"] / max(results["python"], 1e-9), 1),
-        "device_demand_frames_per_sec_v5e8": 8 * 21.1,
-        "native_meets_demand": results["native"] >= 8 * 21.1,
+        "device_rate_frames_per_sec_per_chip": args.device_rate,
+        "device_demand_frames_per_sec_v5e8": round(demand, 1),
+        "native_meets_demand": results["native"] >= demand,
     }), flush=True)
 
     if tmp:

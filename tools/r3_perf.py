@@ -5,11 +5,13 @@ stage-B program, full-size model, batch 256) for a list of rasterizer config
 variants, so each optimization lands with a measured number (BASELINE.md
 round-3 table):
 
-  baseline     — the shipped defaults
-  cap3         — max_tiles_per_face 4 → 3 (smaller binning sort: F·cap² keys)
-  interval30   — rebin every 30 steps, margin 8 px
-  stride2      — silhouette term every 2nd stage-B step (weight ×2)
-  combo        — best-of combination (edit LIST as measurements arrive)
+  baseline            — the shipped defaults (r3: blur 1e-4, stride 2, i50)
+  ref_exact           — blur 0, stride 1 (reference-exact rasterization)
+  cap3 / cap3_margin4 — smaller binning sort (F·cap² keys)
+  interval25          — rebin every 25 steps
+  stride2 / stride4   — silhouette term every k-th stage-B step (weight ×k)
+  stride{2,4}_interval50, interval100_margin12 — rebin-amortization combos
+(the exact table lives in `variants()`; an unknown name raises KeyError)
 
 Also prints the final-step mean silhouette loss per variant as a first-order
 quality tripwire (full quality probing: tools/silhouette_quality.py).
@@ -101,6 +103,11 @@ def main():
     )
     table = variants(base)
 
+    unknown = [n for n in args.variants if n not in table]
+    if unknown:
+        raise SystemExit(
+            f"unknown variant(s) {unknown}; choose from {sorted(table)}"
+        )
     for name in args.variants:
         rcfg = table[name]
         fn = jax.jit(

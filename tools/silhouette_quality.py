@@ -85,7 +85,12 @@ def main():
     pose_disc = disc_lib.init_pose_discriminator(jax.random.PRNGKey(7))
     shape_disc = disc_lib.init_shape_discriminator(jax.random.PRNGKey(8))
 
-    eval_spec = losses.rasterizer_spec(cfg0.refiner)  # σ=1e-4, blur=0
+    # FIXED eval spec, pinned explicitly: σ=1e-4, blur=0 — the hard-edge
+    # objective every config is scored against, independent of what
+    # SilhouetteConfig ships as the *training* default (which is blur 1e-4
+    # since round 3; inheriting it here would score blur-trained configs on
+    # their own training objective and bias the comparison).
+    eval_spec = losses.rasterizer_spec(cfg0.refiner)._replace(blur_radius=0.0)
 
     def make_run(rcfg):
         # rcfg is a static closure (configs aren't pytrees); each config is
@@ -96,10 +101,11 @@ def main():
             )
         )
 
+    # j_norm rides as a jit argument (axon closure-capture rule, CLAUDE.md).
     @jax.jit
-    def score(mdl, verts, cam_t, gt_v, gt_j, mask):
+    def _score(jn, mdl, verts, cam_t, gt_v, gt_j, mask):
         vert_mm = jnp.mean(jnp.linalg.norm(verts - gt_v, axis=-1)) * 1000.0
-        joints = jreg_lib.apply_jreg(j_norm, verts)
+        joints = jreg_lib.apply_jreg(jn, verts)
         mpjpe = jnp.mean(jnp.linalg.norm(joints - gt_j, axis=-1)) * 1000.0
         tiles = sf.silhouette_tiles_fused(verts, mdl, cam_t, eval_spec)
         mask_t = sf.image_to_tiles(mask, eval_spec.tile_size)
@@ -108,6 +114,9 @@ def main():
         hm = mask_t > 0.5
         iou = jnp.sum(hard & hm) / jnp.maximum(jnp.sum(hard | hm), 1)
         return mpjpe, vert_mm, sil_mse, iou
+
+    def score(mdl, verts, cam_t, gt_v, gt_j, mask):
+        return _score(j_norm, mdl, verts, cam_t, gt_v, gt_j, mask)
 
     def config(use_sil, blur, j3d_w, stride=1, **sil_extra):
         r = cfg0.refiner
