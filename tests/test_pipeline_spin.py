@@ -31,6 +31,40 @@ def test_spin_init_path(tmp_path):
     assert data.mask.shape[-1] == 224
 
 
+def test_mask_pooling_gated_on_silhouette(tmp_path):
+    """A non-divisible mask/--silhouette-size combination must only fail when
+    the silhouette term is live; with use_silhouette=False the mask is never
+    rendered against and passes through untouched."""
+    import pytest
+
+    root = fixtures.write_fixture_dataset(str(tmp_path), num_frames=2, seed=9)
+    ds = h36m.H36MDataset(root, "validation")
+    batch = next(iter(h36m.BatchLoader(ds, batch_size=2, shuffle=False)))
+    src = batch["mask_rcnn"].shape[-1]
+
+    def cfg_with(use_sil, target):
+        r = RefinerConfig()
+        return PipelineConfig(
+            refiner=dataclasses.replace(
+                r, use_silhouette=use_sil,
+                silhouette=dataclasses.replace(r.silhouette, image_size=target),
+            ),
+            data=DataConfig(batch_size=2),
+        )
+
+    bad = src - 1  # never divides src
+    _, data = _batch_to_device_inputs(batch, cfg=cfg_with(False, bad))
+    assert data.mask.shape[-1] == src  # untouched passthrough
+
+    with pytest.raises(ValueError, match="not an integer multiple"):
+        _batch_to_device_inputs(batch, cfg=cfg_with(True, bad))
+
+    # Live term + divisible size: pooled down to the silhouette resolution.
+    half = src // 2
+    _, data = _batch_to_device_inputs(batch, cfg=cfg_with(True, half))
+    assert data.mask.shape[-1] == half
+
+
 def test_run_optimize_resume_skips_shards(tmp_path):
     root = fixtures.write_fixture_dataset(str(tmp_path / "ds"), num_frames=4, seed=7)
     ds = h36m.H36MDataset(root, "validation")
