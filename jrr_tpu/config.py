@@ -73,6 +73,28 @@ class SilhouetteConfig:
     # 33.0 frames/s/chip) for ≤0.9 mm final vertex error vs stride 1
     # (BASELINE.md round 3). 1 = reference behavior (every step).
     step_stride: int = 2
+    # Coarse-to-fine stage B: the FIRST floor(coarse_frac · stage_b_steps)
+    # steps rasterize at image_size/coarse_factor — tile_size and bin margin
+    # divided by the same factor, so occupied-tile and per-tile candidate
+    # counts match the full-resolution setup while pixel rows per tile drop
+    # factor² (64 → 16 sublanes at factor 2) — then the rest run at full
+    # resolution. Mask is mean-pooled on device; focal auto-scales via
+    # losses.rasterizer_spec; both phases chain inside ONE XLA program. The
+    # wider coarse basin IMPROVES final quality at lower cost (TPU probe,
+    # tools/c2f_probe.py / BASELINE.md round 3: at 224²→112², coarse half,
+    # MPJPE 7.9 vs 9.4 mm, vertex 18.1 vs 20.2 mm vs single-resolution,
+    # identical IoU). Adam state is fresh per phase (same per-batch-fresh
+    # semantics as the reference). coarse_frac=0.0 restores the
+    # single-resolution round-2 behavior. Margin dividing with resolution
+    # keeps face bbox spans within max_tiles_per_face at the smaller tile.
+    coarse_frac: float = 0.5
+    coarse_factor: int = 2
+    # Quality floor: c2f engages only when image_size/coarse_factor >= this.
+    # Below it, coarse supervision is too crude and actively HURTS (measured:
+    # at 64²→32² on the toy problem the silhouette run ends WORSE than no
+    # silhouette at all, tests/test_silhouette_quality.py; at 224²→112²
+    # full-size it is a strict quality win). 112 is the validated point.
+    coarse_min_image: int = 112
 
 
 @dataclasses.dataclass(frozen=True)

@@ -54,6 +54,13 @@ def _hand_feet_grad_mask(grads: FrameParams) -> FrameParams:
     return grads._replace(pose6d=pose_g)
 
 
+def _pool_mask(mask: jax.Array, factor: int) -> jax.Array:
+    """(B, S, S) → (B, S/f, S/f) mean pooling (matches pipeline mask pooling)."""
+    b, s, _ = mask.shape
+    t = s // factor
+    return mask.reshape(b, t, factor, t, factor).mean(axis=(2, 4))
+
+
 def refine_batch(
     model: smpl_lib.SMPLModel,
     j_reg_raw: jax.Array,
@@ -65,7 +72,78 @@ def refine_batch(
     jreg_mask: Optional[jax.Array] = None,
     freeze_hand_feet: bool = False,
 ) -> RefineResult:
-    """Run stage A + stage B on a batch of frames. Pure; jit/shard at will."""
+    """Run stage A + stage B on a batch of frames. Pure; jit/shard at will.
+
+    With `cfg.silhouette.coarse_frac > 0` (and a live silhouette term), stage
+    B runs coarse-to-fine: the first floor(coarse_frac · stage_b_steps) steps
+    rasterize at image_size/coarse_factor (tile size and bin margin divided
+    by the same factor; mask mean-pooled on device, focal auto-scaled by
+    losses.rasterizer_spec), the rest at full resolution — still ONE XLA
+    program under jit (two chained scans), subject to the coarse_min_image
+    quality floor. Quality-validated and measured in tools/c2f_probe.py /
+    BASELINE.md round 3.
+    """
+    sil = cfg.silhouette
+    coarse_steps = int(sil.coarse_frac * cfg.stage_b_steps)
+    if (
+        cfg.use_silhouette
+        and data.mask is not None
+        and sil.coarse_frac > 0.0
+        and coarse_steps > 0
+        # Quality floor: below coarse_min_image the coarse supervision is too
+        # crude and HURTS (see SilhouetteConfig.coarse_min_image) — fall back
+        # to single-resolution rather than degrade silently.
+        and sil.image_size // sil.coarse_factor >= sil.coarse_min_image
+    ):
+        import dataclasses
+
+        if not 0.0 < sil.coarse_frac < 1.0:
+            raise ValueError(
+                f"coarse_frac={sil.coarse_frac} must lie in [0, 1)"
+            )
+        factor = sil.coarse_factor
+        if factor < 2 or sil.image_size % factor or sil.tile_size % factor:
+            raise ValueError(
+                f"coarse_factor={factor} must be >= 2 and divide both "
+                f"image_size={sil.image_size} and tile_size={sil.tile_size}"
+            )
+        cfg_coarse = dataclasses.replace(
+            cfg,
+            stage_b_steps=coarse_steps,
+            silhouette=dataclasses.replace(
+                sil, coarse_frac=0.0, image_size=sil.image_size // factor,
+                tile_size=sil.tile_size // factor,
+                bin_margin_px=sil.bin_margin_px / factor,
+            ),
+        )
+        cfg_fine = dataclasses.replace(
+            cfg,
+            stage_a_steps=0,
+            stage_b_steps=cfg.stage_b_steps - coarse_steps,
+            silhouette=dataclasses.replace(sil, coarse_frac=0.0),
+        )
+        res1 = refine_batch(
+            model, j_reg_raw, init, data._replace(mask=_pool_mask(data.mask, factor)),
+            cfg_coarse, pose_disc_params, shape_disc_params, jreg_mask,
+            freeze_hand_feet,
+        )
+        res2 = refine_batch(
+            model, j_reg_raw, res1.params, data, cfg_fine, pose_disc_params,
+            shape_disc_params, jreg_mask, freeze_hand_feet,
+        )
+        terms = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0),
+            res1.stage_b_terms, res2.stage_b_terms,
+        )
+        if res1.bin_stats is None or res2.bin_stats is None:
+            stats = res1.bin_stats if res2.bin_stats is None else res2.bin_stats
+        else:
+            # Counters are already worst-chunk maxima; keep the worst phase.
+            stats = jax.tree.map(jnp.maximum, res1.bin_stats, res2.bin_stats)
+        return res2._replace(
+            stage_a_loss=res1.stage_a_loss, stage_b_terms=terms, bin_stats=stats
+        )
+
     j_reg_norm = jreg_lib.normalize_jreg(j_reg_raw, jreg_mask)
 
     # ---- Stage A: camera-only 2D alignment -------------------------------

@@ -149,6 +149,65 @@ class TestStageB:
         sil = np.asarray(res.stage_b_terms.silhouette)
         assert sil[-1] <= sil[0] * 1.5  # silhouette should not blow up
 
+    def test_coarse_to_fine_silhouette(self):
+        """coarse_frac chains a low-res stage-B phase into the full-res one
+        inside one jitted program: result shapes match the single-resolution
+        run, the loss stays finite and decreasing, and validation is loud."""
+        import pytest
+
+        sil = SilhouetteConfig(
+            image_size=32, tile_size=8, faces_per_tile=64,
+            sigma=5e-3, blur_radius=0.05,
+            coarse_frac=0.4, coarse_factor=2, coarse_min_image=16,
+            rebin_interval=5,
+        )
+        cfg = dataclasses.replace(
+            RefinerConfig(), stage_a_steps=20, stage_b_steps=25, silhouette=sil
+        )
+        model, j_reg, gt = _setup(batch=2)
+        data = _gt_data(model, j_reg, gt, cfg, with_mask=True)
+        init = _perturb(gt, 0.05)
+        pd = disc_lib.init_pose_discriminator(jax.random.PRNGKey(10))
+        sd = disc_lib.init_shape_discriminator(jax.random.PRNGKey(11))
+
+        res = jax.jit(
+            lambda i, d: engine.refine_batch(
+                model, j_reg, i, d, cfg, pose_disc_params=pd, shape_disc_params=sd
+            )
+        )(init, data)
+        # Phase terms concatenate to the full stage-B length.
+        total = np.asarray(res.stage_b_terms.total)
+        assert total.shape == (25,)
+        assert np.all(np.isfinite(total))
+        assert total[-1] < total[0]
+        assert np.asarray(res.stage_a_loss).shape == (20,)
+        # Capacity counters survive the phase merge.
+        assert res.bin_stats is not None
+        assert int(res.bin_stats.max_faces_per_tile) > 0
+
+        # Loud validation: coarse_frac out of range / non-dividing factor.
+        bad = dataclasses.replace(
+            cfg, silhouette=dataclasses.replace(sil, coarse_frac=1.0)
+        )
+        with pytest.raises(ValueError, match="coarse_frac"):
+            engine.refine_batch(model, j_reg, init, data, bad)
+        bad = dataclasses.replace(
+            cfg,
+            silhouette=dataclasses.replace(
+                sil, coarse_factor=3, coarse_min_image=8
+            ),
+        )
+        with pytest.raises(ValueError, match="divide"):
+            engine.refine_batch(model, j_reg, init, data, bad)
+
+        # Below the quality floor the engine falls back to single-resolution
+        # (no phase split: one stage-B scan of the full length).
+        floor = dataclasses.replace(
+            cfg, silhouette=dataclasses.replace(sil, coarse_min_image=64)
+        )
+        res_sr = engine.refine_batch(model, j_reg, init, data, floor)
+        assert np.asarray(res_sr.stage_b_terms.total).shape == (25,)
+
     def test_freeze_hand_feet(self):
         cfg = dataclasses.replace(
             RefinerConfig(), stage_a_steps=5, stage_b_steps=10,
