@@ -23,7 +23,9 @@ coarse_frac path before shipping it as the config default (BASELINE.md
 round-3 table).
 
 Usage: python tools/c2f_probe.py [--batch 32] [--coarse-frac 0.5]
-Writes one JSON line per run + timing.
+       python tools/c2f_probe.py --sweep   # frac {0.5, 0.7} x factor {2, 4}
+Writes one JSON line per run. `seconds` = first call (compile+run);
+`exec_seconds` = second call (steady-state execution only).
 """
 
 from __future__ import annotations
@@ -46,6 +48,8 @@ def main():
     ap.add_argument("--stage-b", type=int, default=100)
     ap.add_argument("--coarse-frac", type=float, default=0.5)
     ap.add_argument("--coarse-factor", type=int, default=2)
+    ap.add_argument("--sweep", action="store_true",
+                    help="run frac {0.5, 0.7} x factor {2, 4} variants")
     ap.add_argument("--betas-perturb", type=float, default=0.6)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -129,23 +133,39 @@ def main():
             "max_faces_per_tile": int(st.max_faces_per_tile),
         }
 
+    def measure(name, cfg):
+        fn = jit_run(cfg)
+        t0 = time.perf_counter()
+        res = fn(model, j_reg, init, data, pose_disc, shape_disc)
+        jax.block_until_ready(res.params)
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = fn(model, j_reg, init, data, pose_disc, shape_disc)
+        jax.block_until_ready(res.params)
+        t_exec = time.perf_counter() - t0
+        extra = stats_dict(res)
+        extra["exec_seconds"] = round(t_exec, 2)
+        score(name, res, t_first, extra)
+
     # ---- control: single-resolution (round-2 behavior) ---------------------
-    ctl = jit_run(rcfg(args.stage_a, args.stage_b, coarse_frac=0.0))
-    t0 = time.perf_counter()
-    res = ctl(model, j_reg, init, data, pose_disc, shape_disc)
-    jax.block_until_ready(res.params)
-    score("control_single_res", res, time.perf_counter() - t0, stats_dict(res))
+    measure("control_single_res", rcfg(args.stage_a, args.stage_b, coarse_frac=0.0))
 
     # ---- c2f: the engine-native coarse-to-fine path (ONE jitted program) ---
-    c2f = jit_run(rcfg(
-        args.stage_a, args.stage_b,
-        coarse_frac=args.coarse_frac, coarse_factor=args.coarse_factor,
-    ))
-    t0 = time.perf_counter()
-    res = c2f(model, j_reg, init, data, pose_disc, shape_disc)
-    jax.block_until_ready(res.params)
-    score(f"c2f_frac{args.coarse_frac}_f{args.coarse_factor}", res,
-          time.perf_counter() - t0, stats_dict(res))
+    if args.sweep:
+        variants = [(0.5, 2), (0.7, 2), (0.5, 4)]
+    else:
+        variants = [(args.coarse_frac, args.coarse_factor)]
+    for frac, factor in variants:
+        measure(
+            f"c2f_frac{frac}_f{factor}",
+            rcfg(
+                args.stage_a, args.stage_b, coarse_frac=frac,
+                coarse_factor=factor,
+                # Let sweep variants below the shipped floor run: the sweep
+                # is exactly the experiment that LOCATES the floor.
+                coarse_min_image=min(112, args.image // factor),
+            ),
+        )
 
 
 if __name__ == "__main__":
