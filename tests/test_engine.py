@@ -208,6 +208,33 @@ class TestStageB:
         res_sr = engine.refine_batch(model, j_reg, init, data, floor)
         assert np.asarray(res_sr.stage_b_terms.total).shape == (25,)
 
+    def test_empty_mask_frame_stays_finite(self):
+        """A frame whose mask is all background (person-segmentation failure:
+        the reference would feed an all-zero pixel_annotation the same way)
+        must refine to finite params through the silhouette + c2f path —
+        the loss pulls coverage toward zero but must never NaN."""
+        sil = SilhouetteConfig(
+            image_size=32, tile_size=8, faces_per_tile=64,
+            sigma=5e-3, blur_radius=0.05,
+            coarse_frac=0.4, coarse_factor=2, coarse_min_image=16,
+            rebin_interval=5,
+        )
+        cfg = dataclasses.replace(
+            RefinerConfig(), stage_a_steps=5, stage_b_steps=10, silhouette=sil
+        )
+        model, j_reg, gt = _setup(batch=2)
+        data = _gt_data(model, j_reg, gt, cfg, with_mask=True)
+        # Frame 0 keeps its true mask; frame 1 loses the person entirely.
+        data = data._replace(mask=data.mask.at[1].set(0.0))
+        init = _perturb(gt, 0.05)
+
+        res = jax.jit(
+            lambda i, d: engine.refine_batch(model, j_reg, i, d, cfg)
+        )(init, data)
+        for leaf in jax.tree.leaves(res.params):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+        assert np.all(np.isfinite(np.asarray(res.stage_b_terms.total)))
+
     def test_freeze_hand_feet(self):
         cfg = dataclasses.replace(
             RefinerConfig(), stage_a_steps=5, stage_b_steps=10,
