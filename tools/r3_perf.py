@@ -77,6 +77,19 @@ def variants(r):
                 sil, rebin_interval=100, bin_margin_px=12.0
             )
         ),
+        # Coarse-to-fine ablations (quality gate: tools/c2f_probe.py).
+        # "baseline" already includes the shipped coarse_frac=0.5/factor 2.
+        "single_res": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, coarse_frac=0.0)
+        ),
+        "c2f_frac0.7": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, coarse_frac=0.7)
+        ),
+        "c2f_factor4": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, coarse_factor=4, coarse_min_image=56
+            )
+        ),
     }
 
 
