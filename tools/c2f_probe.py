@@ -167,6 +167,39 @@ def main():
             ),
         )
 
+    if args.sweep:
+        # Three-level schedule (manual chain: 35% at image/4, 35% at image/2,
+        # 30% at full res). Each phase is a single-resolution engine run with
+        # the mask pooled host-side — semantically what a multi-level
+        # coarse_schedule would compile, used here to decide whether one is
+        # worth productizing.
+        s1 = int(0.35 * args.stage_b)
+        s2 = int(0.35 * args.stage_b)
+        s3 = args.stage_b - s1 - s2
+        phases = [
+            (args.stage_a, s1, 4), (0, s2, 2), (0, s3, 1),
+        ]
+        cur = init
+        t_first = 0.0
+        last = None
+        for sa, sb, factor in phases:
+            c = rcfg(
+                sa, sb, coarse_frac=0.0,
+                image_size=args.image // factor,
+                tile_size=max(cfg0.refiner.silhouette.tile_size // factor, 1),
+                bin_margin_px=cfg0.refiner.silhouette.bin_margin_px / factor,
+            )
+            d = data if factor == 1 else data._replace(
+                mask=engine._pool_mask(data.mask, factor)
+            )
+            fn = jit_run(c)
+            t0 = time.perf_counter()
+            last = fn(model, j_reg, cur, d, pose_disc, shape_disc)
+            jax.block_until_ready(last.params)
+            t_first += time.perf_counter() - t0
+            cur = last.params
+        score("c2f_3level_56_112_224", last, t_first, stats_dict(last))
+
 
 if __name__ == "__main__":
     main()
