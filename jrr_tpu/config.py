@@ -89,6 +89,18 @@ class SilhouetteConfig:
     # keeps face bbox spans within max_tiles_per_face at the smaller tile.
     coarse_frac: float = 0.5
     coarse_factor: int = 2
+    # Interior-saturated-tile skip: at each rebin, tiles whose rendered alpha
+    # is SATURATED (exactly 0 or 1 in f32 across the tile and a
+    # bin_margin_px-wide neighborhood) are marked kernel-empty — they carry
+    # numerically zero vertex gradient, and their loss contribution is
+    # reconstructed outside the kernel (silhouette_fused.apply_interior_skip).
+    # This is the "fewer occupied tiles" lever from the round-3 in-kernel
+    # cost attribution (BASELINE.md): body-interior tiles are ~half the
+    # occupied set at 224². Skips are counted in
+    # BinStats.interior_skipped_tiles. Off by default until the TPU
+    # quality+perf gate records a verdict (same protocol as step_stride /
+    # rebin_interval above).
+    interior_skip: bool = False
     # Quality floor: c2f engages only when image_size/coarse_factor >= this.
     # Below it, coarse supervision is too crude and actively HURTS (measured:
     # at 64²→32² on the toy problem the silhouette run ends WORSE than no

@@ -222,6 +222,13 @@ def refine_batch(
             cam_sg = jax.lax.stop_gradient(p.cam_t)
             if fused:
                 bins = sf.compute_fused_bins(out_now.vertices, model, cam_sg, spec)
+                if cfg.silhouette.interior_skip:
+                    # Amortized like binning itself: one extra forward render
+                    # per rebin marks α-saturated tiles kernel-empty (see
+                    # SilhouetteConfig.interior_skip).
+                    bins = sf.apply_interior_skip(
+                        bins, out_now.vertices, model, cam_sg, spec
+                    )
                 stats = bins.stats
             else:
                 bins = sil_lib.compute_bins(

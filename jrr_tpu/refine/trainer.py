@@ -69,6 +69,9 @@ class OuterMetrics(NamedTuple):
     # pages_per_tile / max_tiles_per_face if quality matters there.
     rasterizer_dropped: jax.Array
     rasterizer_max_faces_per_tile: jax.Array
+    # Tiles skipped by the interior-saturation optimization (worst rebin
+    # chunk; 0 when interior_skip is off). Observability, not a cap.
+    rasterizer_interior_skipped: jax.Array
 
 
 def _make_optims(cfg: PipelineConfig):
@@ -214,6 +217,11 @@ def outer_step(
         ),
         rasterizer_max_faces_per_tile=(
             result.bin_stats.max_faces_per_tile
+            if result.bin_stats is not None
+            else jnp.zeros((), jnp.int32)
+        ),
+        rasterizer_interior_skipped=(
+            result.bin_stats.interior_skipped_tiles
             if result.bin_stats is not None
             else jnp.zeros((), jnp.int32)
         ),

@@ -40,6 +40,7 @@ whenever no capacity counter fires.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -74,6 +75,9 @@ class BinStats(NamedTuple):
     span_clipped_faces: jax.Array  # () i32: faces whose bbox span > cap tiles
     page_overflow_tiles: jax.Array  # () i32: tiles needing > P̂−1 pages
     dropped_slots: jax.Array  # () i32: candidate slots dropped by page overflow
+    # () i32: tiles marked kernel-empty by apply_interior_skip (α saturated
+    # across the tile + its drift neighborhood — numerically zero gradient).
+    interior_skipped_tiles: jax.Array
 
     def total_dropped(self):
         return self.truncated_tiles + self.span_clipped_faces + self.dropped_slots
@@ -86,6 +90,10 @@ class FusedBins(NamedTuple):
     pages: jax.Array  # (B, G², P̂) i32 page ids (slot P̂−1 = dump page)
     idx: jax.Array  # (B, G², 3, K_pad) i32 local page_slot·128 + lane
     stats: BinStats  # batch-summed counters
+    # (B, G²) bool, set by apply_interior_skip: tiles skipped because their α
+    # is saturated at 1 (kernel-empty means α≡0, so the loss/alpha entry
+    # points reconstruct these tiles' contribution outside the kernel).
+    sat_tiles: Optional[jax.Array] = None
 
 
 def num_pages(num_verts: int) -> int:
@@ -290,6 +298,7 @@ def _fused_bins_one(
         span_clipped_faces=span_clipped,
         page_overflow_tiles=jnp.sum((n_distinct > usable).astype(jnp.int32)),
         dropped_slots=dropped,
+        interior_skipped_tiles=jnp.zeros((), jnp.int32),
     )
     return origin, pages, idx, stats
 
@@ -344,8 +353,97 @@ def compute_fused_bins(
         span_clipped_faces=jnp.sum(stats.span_clipped_faces),
         page_overflow_tiles=jnp.sum(stats.page_overflow_tiles),
         dropped_slots=jnp.sum(stats.dropped_slots),
+        interior_skipped_tiles=jnp.sum(stats.interior_skipped_tiles),
     )
     return FusedBins(origin=origin, pages=pages, idx=idx, stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# Interior-saturated-tile skip
+# ---------------------------------------------------------------------------
+#
+# The in-kernel cost attribution (BASELINE.md round 3) showed the only levers
+# left on the rasterizer are fewer pixel SUBLANES per tile (taken by
+# coarse-to-fine) and fewer OCCUPIED tiles. This is the occupied-tile lever:
+# tiles deep inside the rendered body (α saturated at 1 across the tile and
+# its drift neighborhood) or fully outside the coverage band (α saturated at
+# 0) carry numerically zero vertex gradient — sigmoid coverage saturates to
+# exactly 0.0/1.0 in f32 within ~2 px of a face edge at production σ — so the
+# kernel can skip them entirely. Implemented wholly on the XLA binning side:
+# skipped tiles are marked with the SAME dump-page sentinel the kernel's
+# empty-tile fast path already branches on, so none of the three Pallas
+# kernels change. α≡1 tiles are recorded in FusedBins.sat_tiles; the loss and
+# alpha entry points reconstruct their contribution outside the kernel.
+
+# f32 saturation threshold: at α = 1−1e-6 the residual per-pixel gradient is
+# ~1e-5 of a live boundary pixel's (sigmoid slope p·(1−p) ≤ 1e-6 times the
+# O(1) px-space distance derivative) — below f32 accumulation noise.
+_SAT_EPS = 1e-6
+
+
+def _erode_tiles(flag: jax.Array, g: int, radius: int) -> jax.Array:
+    """(B, G²) bool → bool: True only where the whole (2r+1)² Chebyshev tile
+    neighborhood is True; out-of-grid neighbors count False (conservative)."""
+    b = flag.shape[0]
+    x = jnp.pad(
+        flag.reshape(b, g, g).astype(jnp.float32),
+        ((0, 0), (radius, radius), (radius, radius)),
+    )
+    w = 2 * radius + 1
+    x = jax.lax.reduce_window(
+        x, 1.0, jax.lax.min, (1, w, w), (1, 1, 1), "VALID"
+    )
+    return (x > 0.5).reshape(b, g * g)
+
+
+def apply_interior_skip(
+    bins: FusedBins,
+    vertices_smpl: jax.Array,
+    model,
+    cam_t: jax.Array,
+    spec,
+) -> FusedBins:
+    """Mark α-saturated tiles kernel-empty; record α≡1 tiles in `sat_tiles`.
+
+    Runs once per rebin (amortized like binning itself): renders the current
+    alpha tiles with the fresh bins, finds tiles whose every pixel is
+    saturated (≤ _SAT_EPS or ≥ 1−_SAT_EPS), erodes by
+    ceil(bin_margin_px / tile) tiles so the nearest live-gradient pixel stays
+    ≥ bin_margin_px away — the SAME drift bound the bin margin already
+    assumes — and overwrites those tiles' page/idx entries with the dump
+    sentinel the kernels' empty-tile fast path branches on.
+
+    Safety: a skipped tile's candidates would contribute numerically zero
+    gradient anyway (coverage sigmoid saturates to exactly 0.0/1.0 in f32),
+    so the optimization trajectory is unchanged up to f32 noise; the loss
+    VALUE of α≡1 tiles is reconstructed by `silhouette_sq_err_fused` /
+    `silhouette_tiles_fused` from `sat_tiles` (kernel-empty reads as α≡0).
+    Skips are counted in BinStats.interior_skipped_tiles — never silent.
+    """
+    g = spec.image_size // spec.tile_size
+    tiles = jax.lax.stop_gradient(
+        silhouette_tiles_fused(vertices_smpl, model, cam_t, spec, bins=bins)
+    )
+    lo = jnp.all(tiles <= _SAT_EPS, axis=-1)
+    hi = jnp.all(tiles >= 1.0 - _SAT_EPS, axis=-1)
+    radius = max(1, int(math.ceil(spec.bin_margin_px / spec.tile_size)))
+    lo_safe = _erode_tiles(lo, g, radius)
+    hi_safe = _erode_tiles(hi, g, radius)
+    skip = lo_safe | hi_safe
+    dump = dump_page_id(model.num_verts)
+    p_hat = bins.pages.shape[2]
+    pages = jnp.where(skip[..., None], dump, bins.pages)
+    # Same dump-triangle idx pattern binning gives genuinely empty tiles, so
+    # the XLA twin (which gathers regardless) also reads α≡0 for them.
+    corner = jnp.arange(3, dtype=jnp.int32).reshape(1, 1, 3, 1)
+    dump_idx = (p_hat - 1) * _LANES + corner
+    idx = jnp.where(skip[..., None, None], dump_idx, bins.idx)
+    stats = bins.stats._replace(
+        interior_skipped_tiles=jnp.sum(skip.astype(jnp.int32))
+    )
+    return FusedBins(
+        origin=bins.origin, pages=pages, idx=idx, stats=stats, sat_tiles=hi_safe
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -866,12 +964,26 @@ def silhouette_sq_err_fused(
             tx, ty, bins.pages, bins.idx, bins.origin,
             spec.tile_size, inv_sigma, blur_px2,
         )
-        return jnp.mean((tiles - mask_tiles) ** 2, axis=(-1, -2))
-    err = fused_sq_err(
-        tx, ty, bins.pages, bins.idx, bins.origin, mask_tiles,
-        spec.tile_size, inv_sigma, blur_px2, dump_page_id(model.num_verts),
-        spec.pallas_chunk, False,
-    )
+        err = jnp.sum((tiles - mask_tiles) ** 2, axis=(-1, -2))
+    else:
+        err = fused_sq_err(
+            tx, ty, bins.pages, bins.idx, bins.origin, mask_tiles,
+            spec.tile_size, inv_sigma, blur_px2, dump_page_id(model.num_verts),
+            spec.pallas_chunk, False,
+        )
+    if bins.sat_tiles is not None:
+        # Interior-skipped α≡1 tiles read as kernel-empty (α≡0), contributing
+        # Σmask² instead of their true Σ(1−mask)². Correct the difference:
+        # Σ[(1−m)² − m²] = Σ(1 − 2m). Constant w.r.t. vertices — the skipped
+        # tiles' gradient is numerically zero by saturation.
+        err = err + jnp.sum(
+            jnp.where(
+                bins.sat_tiles,
+                jnp.sum(1.0 - 2.0 * mask_tiles, axis=-1),
+                0.0,
+            ),
+            axis=-1,
+        )
     return err / float(spec.image_size * spec.image_size)
 
 
@@ -954,15 +1066,22 @@ def silhouette_tiles_fused(
         vertices_smpl, model, cam_t, spec, bins
     )
     if jax.default_backend() == "tpu":
-        return fused_tiles_alpha(
+        tiles = fused_tiles_alpha(
             tx, ty, bins.pages, bins.idx, bins.origin,
             spec.tile_size, inv_sigma, blur_px2, dump_page_id(model.num_verts),
             spec.pallas_chunk, False,
         )
-    return fused_tiles_alpha_xla(
-        tx, ty, bins.pages, bins.idx, bins.origin,
-        spec.tile_size, inv_sigma, blur_px2,
-    )
+    else:
+        tiles = fused_tiles_alpha_xla(
+            tx, ty, bins.pages, bins.idx, bins.origin,
+            spec.tile_size, inv_sigma, blur_px2,
+        )
+    if bins.sat_tiles is not None:
+        # apply_interior_skip marked these tiles kernel-empty (α reads 0);
+        # their true alpha is saturated 1. Constant branch — zero gradient,
+        # exactly the saturated kernel gradient it replaces.
+        tiles = jnp.where(bins.sat_tiles[..., None], 1.0, tiles)
+    return tiles
 
 
 def image_to_tiles(img: jax.Array, tile: int) -> jax.Array:

@@ -82,6 +82,16 @@ def variants(r):
         "single_res": dataclasses.replace(
             r, silhouette=dataclasses.replace(sil, coarse_frac=0.0)
         ),
+        # Interior-saturated-tile skip (the "fewer occupied tiles" lever;
+        # see SilhouetteConfig.interior_skip / tests/test_interior_skip.py).
+        "interior_skip": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, interior_skip=True)
+        ),
+        "interior_skip_single_res": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, interior_skip=True, coarse_frac=0.0
+            )
+        ),
         "c2f_frac0.7": dataclasses.replace(
             r, silhouette=dataclasses.replace(sil, coarse_frac=0.7)
         ),
@@ -149,6 +159,10 @@ def main():
         dropped = (
             int(out.bin_stats.total_dropped()) if out.bin_stats is not None else -1
         )
+        skipped = (
+            int(out.bin_stats.interior_skipped_tiles)
+            if out.bin_stats is not None else -1
+        )
         print(json.dumps({
             "variant": name,
             "frames_per_sec": round(args.batch / dt, 3),
@@ -156,6 +170,7 @@ def main():
             "compile_s": round(compile_s - dt, 1),
             "sil_loss_final": round(sil_final, 6),
             "bin_dropped": dropped,
+            "interior_skipped": skipped,
         }), flush=True)
 
 

@@ -146,6 +146,11 @@ def main():
          dict(rebin_interval=50, bin_margin_px=8.0)),
         ("stride2_blur_1e-4_i100", True, 1e-4, 2,
          dict(rebin_interval=100, bin_margin_px=12.0)),
+        # Interior-saturated-tile skip quality gate vs the shipped r3 config
+        # (gradient-neutral by design — tests/test_interior_skip.py — but the
+        # full-size TPU run is the shipping criterion, like every default).
+        ("stride2_blur_1e-4_i50_iskip", True, 1e-4, 2,
+         dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True)),
     ]
     sweeps = [s for s in all_sweeps if args.configs is None or s[0] in args.configs]
     all_regimes = [("production", 1e4), ("no_j3d", 0.0)]
