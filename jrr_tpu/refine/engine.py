@@ -209,6 +209,26 @@ def refine_batch(
         and inner > 1
     )
     bin_stats = None
+    if (
+        cfg.silhouette.interior_skip
+        and cfg.use_silhouette
+        and data.mask is not None
+        and cfg.stage_b_steps > 0
+        and not (
+            use_bins
+            and losses.resolve_silhouette_backend(losses.rasterizer_spec(cfg))
+            == "fused"
+        )
+    ):
+        # Never-silent convention: the skip only exists on the fused
+        # amortized-bins path — a probe labeled "interior_skip" must not
+        # silently record baseline behavior.
+        raise ValueError(
+            "interior_skip=True requires the fused silhouette backend and "
+            "rebin amortization (rebin_interval > 1); got backend="
+            f"{cfg.silhouette.backend!r}, rebin_interval="
+            f"{cfg.silhouette.rebin_interval}"
+        )
     if use_bins:
         from jrr_tpu.render import silhouette as sil_lib
         from jrr_tpu.render import silhouette_fused as sf

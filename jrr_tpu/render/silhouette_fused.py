@@ -409,9 +409,15 @@ def apply_interior_skip(
     alpha tiles with the fresh bins, finds tiles whose every pixel is
     saturated (≤ _SAT_EPS or ≥ 1−_SAT_EPS), erodes by
     ceil(bin_margin_px / tile) tiles so the nearest live-gradient pixel stays
-    ≥ bin_margin_px away — the SAME drift bound the bin margin already
-    assumes — and overwrites those tiles' page/idx entries with the dump
-    sentinel the kernels' empty-tile fast path branches on.
+    ≥ radius·tile ≥ bin_margin_px away, and overwrites those tiles' page/idx
+    entries with the dump sentinel the kernels' empty-tile fast path branches
+    on. The drift budget is the bin margin itself — marginally tighter than
+    binning's pad (pad_px adds ~0.5 px + the blur band on top of the margin,
+    but those cover the FACE-bbox→band offset, which the alpha-saturation
+    test here already measures directly); drift beyond the budget degrades
+    exactly like bins missing a drifted face — gradient dropped until the
+    next rebin — and the full-size TPU quality probe gates the default on
+    that behavior (tools/silhouette_quality.py `…_iskip`).
 
     Safety: a skipped tile's candidates would contribute numerically zero
     gradient anyway (coverage sigmoid saturates to exactly 0.0/1.0 in f32),
@@ -432,6 +438,11 @@ def apply_interior_skip(
     skip = lo_safe | hi_safe
     dump = dump_page_id(model.num_verts)
     p_hat = bins.pages.shape[2]
+    # Count only tiles the skip NEWLY empties: deep-background tiles are
+    # α≡0-saturated too but already kernel-empty from binning — counting
+    # them would overstate the lever's engagement ~10× and mislead the
+    # perf-gate reading (tools/r3_perf.py prints this counter).
+    newly = skip & (bins.pages[:, :, 0] != dump)
     pages = jnp.where(skip[..., None], dump, bins.pages)
     # Same dump-triangle idx pattern binning gives genuinely empty tiles, so
     # the XLA twin (which gathers regardless) also reads α≡0 for them.
@@ -439,7 +450,7 @@ def apply_interior_skip(
     dump_idx = (p_hat - 1) * _LANES + corner
     idx = jnp.where(skip[..., None, None], dump_idx, bins.idx)
     stats = bins.stats._replace(
-        interior_skipped_tiles=jnp.sum(skip.astype(jnp.int32))
+        interior_skipped_tiles=jnp.sum(newly.astype(jnp.int32))
     )
     return FusedBins(
         origin=bins.origin, pages=pages, idx=idx, stats=stats, sat_tiles=hi_safe

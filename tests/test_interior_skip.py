@@ -165,6 +165,31 @@ class TestEngineIntegration:
         for a, b in zip(jax.tree.leaves(r0.params), jax.tree.leaves(r1.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_loud_error_when_skip_cannot_apply(self):
+        """Never-silent: interior_skip on a path that can't honor it raises."""
+        import pytest
+
+        from tests.test_engine import _gt_data, _perturb, _setup
+
+        model, j_reg, gt = _setup(batch=2)
+        base = self._cfg(True)
+        data = _gt_data(model, j_reg, gt, base, with_mask=True)
+        init = _perturb(gt, 0.05)
+        for bad in (
+            dataclasses.replace(
+                base, silhouette=dataclasses.replace(
+                    base.silhouette, rebin_interval=1
+                )
+            ),
+            dataclasses.replace(
+                base, silhouette=dataclasses.replace(
+                    base.silhouette, backend="xla"
+                )
+            ),
+        ):
+            with pytest.raises(ValueError, match="interior_skip"):
+                engine.refine_batch(model, j_reg, init, data, bad)
+
     def test_longer_run_stays_finite_and_skips(self):
         from tests.test_engine import _gt_data, _perturb, _setup
 
