@@ -62,11 +62,21 @@ def main() -> None:
     jax.block_until_ready(out)
 
     # The real composed program, end-to-end: one device dispatch covering all
-    # 1000 stage-A + 100 stage-B steps.
-    t0 = time.perf_counter()
-    out = refine(model, init, data, j_reg, pose_disc, shape_disc)
-    jax.block_until_ready(out)
-    t_total = time.perf_counter() - t0
+    # 1000 stage-A + 100 stage-B steps. Timed THREE times with numerically
+    # DISTINCT init params each run (same shapes ⇒ same executable) and the
+    # median reported: a repeat execution of one executable on bit-identical
+    # arguments was once observed returning in ~0.4 ms on the experimental
+    # axon backend (675K "frames/s" — a result-dedup/caching artifact, not a
+    # measurement), and a median over distinct-input runs is robust to any
+    # such hazard in either direction.
+    times = []
+    for k in range(3):
+        init_k = jax.tree.map(lambda x, _k=k: x + 1e-7 * (_k + 1), init)
+        t0 = time.perf_counter()
+        out = refine(model, init_k, data, j_reg, pose_disc, shape_disc)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    t_total = sorted(times)[1]
 
     frames_per_sec = BATCH / t_total
 

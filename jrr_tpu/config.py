@@ -97,10 +97,20 @@ class SilhouetteConfig:
     # This is the "fewer occupied tiles" lever from the round-3 in-kernel
     # cost attribution (BASELINE.md): body-interior tiles are ~half the
     # occupied set at 224². Skips are counted in
-    # BinStats.interior_skipped_tiles. Off by default until the TPU
-    # quality+perf gate records a verdict (same protocol as step_stride /
-    # rebin_interval above).
-    interior_skip: bool = False
+    # BinStats.interior_skipped_tiles. Three-state:
+    #   None (default) — AUTO: on whenever the fused backend + rebin
+    #     amortization are active (the only path the skip exists on), off
+    #     otherwise (e.g. the off-TPU XLA twin, rebin_interval=1);
+    #   True — REQUIRE: raise if the fused amortized path is unavailable
+    #     (never-silent: a probe labeled "interior_skip" must not silently
+    #     record baseline behavior);
+    #   False — off.
+    # Auto-ON by the round-3 TPU gate (BASELINE.md): +7.1% end-to-end
+    # throughput (44.7 vs 41.7 frames/s/chip) at quality parity on the
+    # full-size production probe (MPJPE 7.67 vs 7.87 mm, vertex 17.98 vs
+    # 18.11 mm, IoU 0.698 vs 0.696) — and the same neutral-to-slightly-better
+    # picture in the mocap-less (no-j3d) regime.
+    interior_skip: Optional[bool] = None
     # Quality floor: c2f engages only when image_size/coarse_factor >= this.
     # Below it, coarse supervision is too crude and actively HURTS (measured:
     # at 64²→32² on the toy problem the silhouette run ends WORSE than no

@@ -209,20 +209,28 @@ def refine_batch(
         and inner > 1
     )
     bin_stats = None
+    # interior_skip three-state (SilhouetteConfig.interior_skip): the skip
+    # only exists on the fused amortized-bins path. None = AUTO (on exactly
+    # when that path is active); True = REQUIRE — a probe labeled
+    # "interior_skip" must not silently record baseline behavior, so raise
+    # when the path is unavailable; False = off.
+    _skip_path_active = (
+        use_bins
+        and losses.resolve_silhouette_backend(losses.rasterizer_spec(cfg))
+        == "fused"
+    )
+    interior_skip = (
+        _skip_path_active
+        if cfg.silhouette.interior_skip is None
+        else cfg.silhouette.interior_skip
+    )
     if (
-        cfg.silhouette.interior_skip
+        interior_skip
         and cfg.use_silhouette
         and data.mask is not None
         and cfg.stage_b_steps > 0
-        and not (
-            use_bins
-            and losses.resolve_silhouette_backend(losses.rasterizer_spec(cfg))
-            == "fused"
-        )
+        and not _skip_path_active
     ):
-        # Never-silent convention: the skip only exists on the fused
-        # amortized-bins path — a probe labeled "interior_skip" must not
-        # silently record baseline behavior.
         raise ValueError(
             "interior_skip=True requires the fused silhouette backend and "
             "rebin amortization (rebin_interval > 1); got backend="
@@ -242,7 +250,7 @@ def refine_batch(
             cam_sg = jax.lax.stop_gradient(p.cam_t)
             if fused:
                 bins = sf.compute_fused_bins(out_now.vertices, model, cam_sg, spec)
-                if cfg.silhouette.interior_skip:
+                if interior_skip:
                     # Amortized like binning itself: one extra forward render
                     # per rebin marks α-saturated tiles kernel-empty (see
                     # SilhouetteConfig.interior_skip).
