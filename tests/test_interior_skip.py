@@ -165,6 +165,32 @@ class TestEngineIntegration:
         for a, b in zip(jax.tree.leaves(r0.params), jax.tree.leaves(r1.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_auto_engages_on_fused_and_stays_off_elsewhere(self):
+        """interior_skip=None (the shipped default) is AUTO: on when the
+        fused amortized path is active, silently off (no raise) when it
+        isn't — unlike explicit True, which must raise there."""
+        from tests.test_engine import _gt_data, _perturb, _setup
+
+        model, j_reg, gt = _setup(batch=2)
+        cfg_auto = self._cfg(None)
+        data = _gt_data(model, j_reg, gt, cfg_auto, with_mask=True)
+        init = _perturb(gt, 0.05)
+        res = jax.jit(
+            lambda i, d: engine.refine_batch(model, j_reg, i, d, cfg_auto)
+        )(init, data)
+        assert int(res.bin_stats.interior_skipped_tiles) > 0
+
+        cfg_xla = dataclasses.replace(
+            cfg_auto, silhouette=dataclasses.replace(
+                cfg_auto.silhouette, backend="xla"
+            )
+        )
+        res2 = jax.jit(
+            lambda i, d: engine.refine_batch(model, j_reg, i, d, cfg_xla)
+        )(init, data)  # no raise; the non-fused path has no skip to honor
+        assert res2.bin_stats is None
+        assert np.all(np.isfinite(np.asarray(res2.stage_b_terms.total)))
+
     def test_loud_error_when_skip_cannot_apply(self):
         """Never-silent: interior_skip on a path that can't honor it raises."""
         import pytest
