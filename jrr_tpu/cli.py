@@ -63,6 +63,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="SPIN smpl_mean_params.npz (init_pose/shape/cam buffers)",
     )
     p.add_argument(
+        "--vibe-checkpoint", default=None,
+        help="VIBE torch checkpoint (gen_state_dict layout); runs the VIBE "
+        "consumer eval after retraining (reference: main.py:26, "
+        "scripts/test.py:141-166)",
+    )
+    p.add_argument(
+        "--meva-checkpoint", default=None,
+        help="MEVA torch checkpoint (gen_state_dict layout); runs the MEVA "
+        "consumer eval after retraining (reference: main.py:27, "
+        "scripts/test.py:167-195)",
+    )
+    p.add_argument(
+        "--consumer-seqlen", type=int, default=None,
+        help="sequence length for the consumer evals (reference chunks video "
+        "into seqlen-16 sequences, scripts/test.py:254-273); default 16, "
+        "4 under --demo",
+    )
+    p.add_argument(
         "--loader", default="auto", choices=["auto", "python", "native"],
         help="host input pipeline: native = C++ pack loader (builds "
         "frames.jrrpack on first use); auto = native when a pack exists",
@@ -151,6 +169,9 @@ def main(argv=None) -> None:
             spin_checkpoint=args.spin_checkpoint,
             spin_mean_params=args.spin_mean_params,
             loader=args.loader,
+            vibe_checkpoint=args.vibe_checkpoint,
+            meva_checkpoint=args.meva_checkpoint,
+            consumer_seqlen=args.consumer_seqlen or (4 if args.demo else 16),
         )
     finally:
         logger.close()

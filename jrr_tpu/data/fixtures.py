@@ -75,8 +75,15 @@ def write_fixture_dataset(
     seed: int = 0,
     model: Optional[smpl_lib.SMPLModel] = None,
     j_reg_raw: Optional[np.ndarray] = None,
+    num_sequences: int = 2,
 ) -> str:
-    """Write a dataset directory consumable by `H36MDataset(root, 'validation')`."""
+    """Write a dataset directory consumable by `H36MDataset(root, 'validation')`.
+
+    Frames are grouped into `num_sequences` video sequences: explicit
+    seq_id/frame_id arrays land in tensors.npz and the image paths are laid
+    out as imageSequence/seq{k}/img_{frame:06d}.png — both sources of
+    `H36MDataset.frame_order` (the reference's data is ordered video,
+    reference: scripts/data.py:274-382)."""
     import imageio.v2 as imageio
     import jax.numpy as jnp
 
@@ -96,8 +103,13 @@ def write_fixture_dataset(
     img_dir = os.path.join(root, "imageSequence")
     mask_dir = os.path.join(root, "maskSequence")
     os.makedirs(split_dir, exist_ok=True)
-    os.makedirs(img_dir, exist_ok=True)
-    os.makedirs(mask_dir, exist_ok=True)
+
+    # Temporal identity: contiguous frame ranges per sequence.
+    seq_id = (np.arange(num_frames) * num_sequences) // max(1, num_frames)
+    frame_id = np.arange(num_frames) - np.searchsorted(seq_id, seq_id)
+    for k in range(num_sequences):
+        os.makedirs(os.path.join(img_dir, f"seq{k:03d}"), exist_ok=True)
+        os.makedirs(os.path.join(mask_dir, f"seq{k:03d}"), exist_ok=True)
 
     r = constants.IMG_RES
     # Place each crop-space render back into a 1000² frame at a known bbox.
@@ -133,9 +145,10 @@ def write_fixture_dataset(
         # files are likewise render-resolution; scripts/optimize.py:236).
         mask_u8 = (m * 255).astype(np.uint8)
         mask_u8[0, 0] = 255  # the reference's valid-flag marker pixel
-        img_path = os.path.join(img_dir, f"img_{i:06d}.png")
+        rel = os.path.join(f"seq{seq_id[i]:03d}", f"img_{frame_id[i]:06d}.png")
+        img_path = os.path.join(img_dir, rel)
         imageio.imwrite(img_path, img_u8)
-        imageio.imwrite(os.path.join(mask_dir, f"img_{i:06d}.png"), mask_u8)
+        imageio.imwrite(os.path.join(mask_dir, rel), mask_u8)
         images.append(img_path)
 
     intr = np.zeros((num_frames, 3, 3), np.float32)
@@ -160,6 +173,8 @@ def write_fixture_dataset(
         intrinsics=intr,
         orient=noisy(gt.orient6d, 0.03),
         pose=noisy(gt.pose6d, 0.06),
+        seq_id=seq_id.astype(np.int64),
+        frame_id=frame_id.astype(np.int64),
     )
     with open(os.path.join(split_dir, "images.json"), "w") as f:
         json.dump(images, f)

@@ -26,9 +26,10 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import queue as queue_mod
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -99,6 +100,46 @@ class H36MDataset:
 
     def __len__(self) -> int:
         return self.tensors["gt_j3d"].shape[0]
+
+    def frame_order(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Temporal identity of every frame: (seq_ids, frame_nos) int arrays.
+
+        The reference's data is ordered video (scripts/data.py:274-382 walks
+        sequence directories frame by frame), but its eval DataLoaders shuffle
+        — sequence consumers (VIBE/MEVA) need the order back. Two sources, in
+        priority order:
+
+        1. explicit `seq_id` / `frame_id` arrays in tensors.npz (the converted
+           dataset contract; fixtures write them);
+        2. derived from images.json paths — sequence = the image's directory,
+           frame number = the trailing integer in the filename (the raw-H36M
+           layout: .../imageSequence/<cam>/img_000001.jpg).
+
+        Returns None when neither is available (ordering unknown — sequence
+        eval must not silently assume it)."""
+        t = self.tensors
+        if "seq_id" in t and "frame_id" in t:
+            return t["seq_id"].astype(np.int64), t["frame_id"].astype(np.int64)
+        if self.images is not None:
+            seq_of: Dict[str, int] = {}
+            seq_ids = np.empty(len(self.images), np.int64)
+            frame_nos = np.empty(len(self.images), np.int64)
+            for i, p in enumerate(self.images):
+                d, b = os.path.split(p)
+                seq_ids[i] = seq_of.setdefault(d, len(seq_of))
+                digits = re.findall(r"\d+", b)
+                frame_nos[i] = int(digits[-1]) if digits else i
+            return seq_ids, frame_nos
+        return None
+
+    def load_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Stack arbitrary frame indices into one batch dict."""
+        items = [self[int(i)] for i in indices]
+        out = {}
+        for k in items[0]:
+            vals = [it[k] for it in items]
+            out[k] = np.stack(vals) if isinstance(vals[0], np.ndarray) else np.asarray(vals)
+        return out
 
     def _read_frame_images(self, index: int):
         """Returns (image (3, 1000, 1000) float [0,1], mask (1, Hm, Wm))."""
@@ -218,6 +259,7 @@ class BatchLoader:
             out[k] = np.stack(vals) if isinstance(vals[0], np.ndarray) else np.asarray(vals)
         return out
 
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._indices()
         batches = [
@@ -244,3 +286,39 @@ class BatchLoader:
             if item is sentinel:
                 break
             yield item
+
+
+def sequence_chunk_indices(
+    seq_ids: np.ndarray, frame_nos: np.ndarray, seqlen: int
+) -> np.ndarray:
+    """(num_chunks, seqlen) dataset indices for sequence-consumer eval.
+
+    Per sequence: frames sorted by frame number, truncated to a multiple of
+    `seqlen` (the reference's chunking drops remainders too, reference:
+    scripts/test.py:254-273). Chunks never cross a sequence boundary."""
+    chunks = []
+    for s in np.unique(seq_ids):
+        idx = np.nonzero(seq_ids == s)[0]
+        idx = idx[np.argsort(frame_nos[idx], kind="stable")]
+        n = (len(idx) // seqlen) * seqlen
+        if n:
+            chunks.append(idx[:n].reshape(-1, seqlen))
+    if not chunks:
+        return np.zeros((0, seqlen), np.int64)
+    return np.concatenate(chunks, axis=0)
+
+
+def ordered_sequence_batches(
+    load_fn, order: Tuple[np.ndarray, np.ndarray], batch_size: int, seqlen: int
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Non-shuffling iterator for `evaluate_consumer_sequences`: each yielded
+    batch concatenates whole temporally-ordered chunks (frame count a multiple
+    of `seqlen`, never crossing a sequence), ≤ `batch_size` frames per batch.
+
+    `load_fn(indices) -> batch dict` — `H36MDataset.load_batch` or
+    `PackedH36MDataset.load_batch`; `order` — `frame_order()` of the dataset.
+    """
+    chunks = sequence_chunk_indices(order[0], order[1], seqlen)
+    per = max(1, batch_size // seqlen)
+    for i in range(0, len(chunks), per):
+        yield load_fn(chunks[i : i + per].reshape(-1))

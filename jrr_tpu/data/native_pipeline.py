@@ -53,6 +53,12 @@ class PackedH36MDataset:
     def __len__(self) -> int:
         return len(self.base)
 
+    def frame_order(self):
+        """Temporal identity (seq_ids, frame_nos) or None — the pack stores
+        frames by dataset index, so identity comes from the base dataset's
+        contract (explicit seq_id/frame_id tensors or image paths)."""
+        return self.base.frame_order()
+
     def load_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         t = self.base.tensors
         idx = np.asarray(indices)

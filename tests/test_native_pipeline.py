@@ -41,3 +41,45 @@ def test_batches_iterator(fixture_root):
     batches = list(ds.batches(batch_size=2, seed=0))
     assert len(batches) == 2  # 5 frames, drop_last
     assert batches[0]["spin_image"].shape[0] == 2
+
+
+def test_run_pipeline_native_loader_end_to_end(tmp_path):
+    """VERDICT r3 item 4: drive the native `epoch_batches` branch of
+    `run_pipeline` (pipeline.py --loader native) end-to-end at demo scale and
+    assert the eval matches the python-loader run. The loaders are frame-parity
+    tested above; the residual difference is the C++ vs JAX bilinear warp
+    (≤2e-2 per pixel), which after a short refinement must leave the
+    before/after MPJPE numbers effectively identical."""
+    import dataclasses
+
+    from jrr_tpu import config as cfg_lib
+    from jrr_tpu.pipeline import run_pipeline
+
+    cfg = cfg_lib.PipelineConfig(
+        refiner=dataclasses.replace(
+            cfg_lib.RefinerConfig(stage_a_steps=10, stage_b_steps=2),
+            silhouette=cfg_lib.SilhouetteConfig(image_size=56),
+        ),
+        data=dataclasses.replace(cfg_lib.DataConfig(), batch_size=4),
+    )
+    data_root = str(tmp_path / "fixtures")
+
+    art_py = run_pipeline(
+        cfg, data_root=data_root, out_dir=str(tmp_path / "out_py"),
+        demo=True, loader="python",
+    )
+    art_nat = run_pipeline(
+        cfg, data_root=data_root, out_dir=str(tmp_path / "out_nat"),
+        demo=True, loader="native",
+    )
+
+    # "before" depends only on stored tensors → identical across loaders.
+    assert art_py.eval_before_after.before.mpjpe == pytest.approx(
+        art_nat.eval_before_after.before.mpjpe, abs=1e-4
+    )
+    # "after" ran refinement on warped inputs → equal up to warp parity noise.
+    assert art_py.eval_before_after.after.mpjpe == pytest.approx(
+        art_nat.eval_before_after.after.mpjpe, abs=0.5
+    )
+    np.testing.assert_allclose(art_py.j_reg_final, art_nat.j_reg_final, atol=5e-3)
+    assert np.isfinite(art_nat.j_reg_lstsq).all()

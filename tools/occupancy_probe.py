@@ -31,9 +31,13 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 jax.config.update("jax_platforms", "cpu")
 
 
-def tile_counts(verts_screen, faces, image_size, tile, pad_px):
-    """Per-tile candidate counts for one frame; mirrors the bbox/pad
-    semantics of silhouette_fused._fused_bins_one (core+margin union)."""
+def tile_counts(verts_screen, faces, image_size, tile, pad_px, cap=4):
+    """Per-tile candidate counts for one frame; mirrors the bbox/pad AND
+    span-clip semantics of silhouette_fused._fused_bins_one: each face's tile
+    window is clipped to `max_tiles_per_face` per axis anchored at the clipped
+    tmin (silhouette_fused.py:180), so union counts here are what the kernel
+    actually bins (ADVICE r3: the unclipped probe overstated union counts on
+    faces spanning >cap tiles; core spans stay within the cap either way)."""
     g = image_size // tile
     fv = verts_screen[faces]  # (F, 3, 3)
     xy = fv[..., :2]
@@ -46,6 +50,7 @@ def tile_counts(verts_screen, faces, image_size, tile, pad_px):
     counts = np.zeros((g, g), np.int64)
     t0 = np.clip(tmin, 0, g - 1)
     t1 = np.clip(tmax, 0, g - 1)
+    t1 = np.minimum(t1, t0 + cap - 1)  # kernel's max_tiles_per_face span clip
     for f in np.nonzero(on)[0]:
         counts[t0[f, 1] : t1[f, 1] + 1, t0[f, 0] : t1[f, 0] + 1] += 1
     return counts.reshape(-1)
@@ -99,6 +104,13 @@ def main():
             "frac_core_le_48": round(float(np.mean(core_occ <= 48)), 3),
             "frac_core_le_64": round(float(np.mean(core_occ <= 64)), 3),
             "frac_core_gt_96": round(float(np.mean(core_occ > 96)), 3),
+            # Lane-packing gates (ADVICE r3: gate on UNION counts, not core —
+            # packed tiles hold core+margin, and margin slack interacts with
+            # rebin quality): union ≤ 64 packs with EXACT semantics; core ≤ 64
+            # packs with thinner drift slack (64 − core margin slots).
+            "frac_union_le_64": round(float(np.mean(occ <= 64)), 3),
+            "frac_union_le_96": round(float(np.mean(occ <= 96)), 3),
+            "frac_union_le_128": round(float(np.mean(occ <= 128)), 3),
         }
     print(json.dumps(report))
 

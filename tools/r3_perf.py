@@ -43,6 +43,16 @@ def variants(r):
                 sil, blur_radius=0.0, step_stride=1
             )
         ),
+        # Semantics-parity configuration: EVERY shipped deviation off — blur 0,
+        # silhouette every step, single resolution, no interior skip, the
+        # round-2 rebin cadence. This is the number behind the "reference-exact
+        # is one flag away" claim (VERDICT r3 item 6).
+        "ref_exact_full": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, blur_radius=0.0, step_stride=1, rebin_interval=20,
+                bin_margin_px=6.0, coarse_frac=0.0, interior_skip=False,
+            )
+        ),
         "cap3": dataclasses.replace(
             r, silhouette=dataclasses.replace(sil, max_tiles_per_face=3)
         ),
