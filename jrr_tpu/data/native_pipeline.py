@@ -37,14 +37,69 @@ def pack_dataset(root: str, split: str = "validation", out_path: Optional[str] =
     return out_path
 
 
+def build_pack2(
+    root: str, split: str = "validation", out_path: Optional[str] = None,
+    chunk: int = 256, num_threads: int = 0,
+) -> str:
+    """One-time: v1 pack (raw frames) → PRE-WARPED v2 pack.
+
+    Runs the C++ decode+warp over every frame ONCE with the dataset's own
+    (static) bboxes and stores the quantized u8 crops + crop meta; steady-
+    state load becomes a memcpy-grade u8→f32 conversion (VERDICT r3 item 7).
+    """
+    from jrr_tpu import runtime
+    from jrr_tpu import constants
+
+    ds = h36m_lib.H36MDataset(root, split)
+    pack_path = os.path.join(ds.dir, "frames.jrrpack")
+    if not os.path.exists(pack_path):
+        pack_path = pack_dataset(root, split)
+    reader = runtime.PackReader(pack_path, num_threads=num_threads)
+    if out_path is None:
+        out_path = os.path.join(ds.dir, "frames.jrrpack2")
+
+    n = len(ds)
+    q = lambda x: np.clip(np.rint(x * 255.0), 0, 255).astype(np.uint8)
+    writer = runtime.Pack2Writer(
+        out_path, n, constants.CROP_RES, constants.IMAGE_CROP_RES,
+        reader.img_c, reader.mask_h, reader.mask_w,
+    )
+    for i0 in range(0, n, chunk):
+        idx = np.arange(i0, min(i0 + chunk, n))
+        bb = ds.tensors["bboxes"][idx].astype(np.float32)
+        nb = reader.load_batch(
+            idx, bb, spin_res=constants.CROP_RES,
+            img_res=constants.IMAGE_CROP_RES,
+        )
+        meta = np.stack([nb["min_x"], nb["min_y"], nb["scale"]], axis=1)
+        writer.append(q(nb["spin_image"]), q(nb["image"]), q(nb["mask"]), meta)
+    writer.close()
+    reader.close()
+    return out_path
+
+
 class PackedH36MDataset:
     """Batch-level dataset over a pack file (use directly, not via BatchLoader:
-    the native runtime assembles whole batches)."""
+    the native runtime assembles whole batches).
 
-    def __init__(self, root: str, split: str = "validation", num_threads: int = 0):
+    `prewarped="auto"` (default) uses the pre-warped v2 pack when
+    frames.jrrpack2 exists; True builds it on first use; False forces the
+    raw v1 pack (decode+warp per load)."""
+
+    def __init__(self, root: str, split: str = "validation", num_threads: int = 0,
+                 prewarped="auto"):
         from jrr_tpu import runtime
 
         self.base = h36m_lib.H36MDataset(root, split)
+        pack2_path = os.path.join(self.base.dir, "frames.jrrpack2")
+        if prewarped is True and not os.path.exists(pack2_path):
+            build_pack2(root, split, num_threads=num_threads)
+        self.prewarped = prewarped is True or (
+            prewarped == "auto" and os.path.exists(pack2_path)
+        )
+        if self.prewarped:
+            self.reader = runtime.Pack2Reader(pack2_path, num_threads=num_threads)
+            return
         pack_path = os.path.join(self.base.dir, "frames.jrrpack")
         if not os.path.exists(pack_path):
             pack_path = pack_dataset(root, split)
@@ -63,10 +118,13 @@ class PackedH36MDataset:
         t = self.base.tensors
         idx = np.asarray(indices)
         bboxes = t["bboxes"][idx].astype(np.float32)
-        native = self.reader.load_batch(
-            idx, bboxes,
-            spin_res=constants.CROP_RES, img_res=constants.IMAGE_CROP_RES,
-        )
+        if self.prewarped:
+            native = self.reader.load_batch(idx)  # bbox baked in at build
+        else:
+            native = self.reader.load_batch(
+                idx, bboxes,
+                spin_res=constants.CROP_RES, img_res=constants.IMAGE_CROP_RES,
+            )
 
         mask = native["mask"]
         valid = mask[:, 0, 0] != 0

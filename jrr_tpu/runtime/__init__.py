@@ -55,6 +55,15 @@ def _load() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
     ]
+    lib.jrr_pack2_open.restype = ctypes.c_void_p
+    lib.jrr_pack2_open.argtypes = [ctypes.c_char_p]
+    lib.jrr_pack2_num_frames.restype = ctypes.c_int64
+    lib.jrr_pack2_num_frames.argtypes = [ctypes.c_void_p]
+    lib.jrr_pack2_close.argtypes = [ctypes.c_void_p]
+    lib.jrr_pack2_load_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -91,6 +100,97 @@ def write_pack(
         for i in range(n):
             f.write(np.ascontiguousarray(images_u8[i]).tobytes())
             f.write(np.ascontiguousarray(masks_u8[i]).tobytes())
+
+
+_MAGIC2 = 0x324B434150525252
+
+
+class Pack2Writer:
+    """Streaming writer for the PRE-WARPED pack (v2): uint8 CHW crops with
+    the warp already applied + float32 crop meta per frame. Decode+warp are
+    paid once here; `Pack2Reader.load_batch` is then a straight u8→f32
+    conversion (BASELINE.md round 4, VERDICT r3 item 7)."""
+
+    def __init__(self, path: str, num_frames: int, spin_res: int, img_res: int,
+                 channels: int, mask_h: int, mask_w: int):
+        self._f = open(path, "wb")
+        self._f.write(struct.pack(
+            "<QQIIIII4x", _MAGIC2, num_frames, spin_res, img_res, channels,
+            mask_h, mask_w,
+        ))
+
+    def append(self, spin_u8: np.ndarray, image_u8: np.ndarray,
+               mask_u8: np.ndarray, meta_f32: np.ndarray) -> None:
+        """Append a chunk of frames: (B,C,S,S)+(B,C,I,I)+(B,MH,MW) u8, (B,3) f32."""
+        for k in range(spin_u8.shape[0]):
+            self._f.write(np.ascontiguousarray(spin_u8[k]).tobytes())
+            self._f.write(np.ascontiguousarray(image_u8[k]).tobytes())
+            self._f.write(np.ascontiguousarray(mask_u8[k]).tobytes())
+            self._f.write(
+                np.ascontiguousarray(meta_f32[k], dtype=np.float32).tobytes()
+            )
+
+    def close(self):
+        self._f.close()
+
+
+def write_pack2(
+    path: str, spin_u8: np.ndarray, image_u8: np.ndarray, mask_u8: np.ndarray,
+    meta_f32: np.ndarray,
+) -> None:
+    """One-shot v2 pack write (small datasets / tests); see Pack2Writer."""
+    n, c, s, _ = spin_u8.shape
+    w = Pack2Writer(
+        path, n, s, image_u8.shape[-1], c, mask_u8.shape[1], mask_u8.shape[2]
+    )
+    w.append(spin_u8, image_u8, mask_u8, np.asarray(meta_f32, np.float32))
+    w.close()
+
+
+class Pack2Reader:
+    """Memory-mapped pre-warped pack: steady-state load ≈ memcpy."""
+
+    def __init__(self, path: str, num_threads: int = 0):
+        self._lib = _load()
+        self._handle = self._lib.jrr_pack2_open(path.encode())
+        if not self._handle:
+            raise IOError(f"failed to open pack2: {path}")
+        self.num_frames = int(self._lib.jrr_pack2_num_frames(self._handle))
+        with open(path, "rb") as f:
+            header = f.read(40)
+        (_, _, self.spin_res, self.img_res, self.img_c, self.mask_h,
+         self.mask_w) = struct.unpack("<QQIIIII", header[:36])
+        self.num_threads = num_threads if num_threads > 0 else min(8, os.cpu_count() or 1)
+
+    def load_batch(self, indices: np.ndarray):
+        """Returns dict(spin_image, image, mask, min_x, min_y, scale) —
+        identical contract to PackReader.load_batch (bboxes are baked in)."""
+        b = len(indices)
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        spin = np.empty((b, self.img_c, self.spin_res, self.spin_res), np.float32)
+        image = np.empty((b, self.img_c, self.img_res, self.img_res), np.float32)
+        mask = np.empty((b, self.mask_h, self.mask_w), np.float32)
+        meta = np.empty((b, 3), np.float32)
+        self._lib.jrr_pack2_load_batch(
+            self._handle, _ptr(idx), b, _ptr(spin), _ptr(image), _ptr(mask),
+            _ptr(meta), self.num_threads,
+        )
+        return {
+            "spin_image": spin, "image": image, "mask": mask,
+            "min_x": meta[:, 0].copy(), "min_y": meta[:, 1].copy(),
+            "scale": meta[:, 2].copy(),
+        }
+
+    def close(self):
+        if self._handle:
+            self._lib.jrr_pack2_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class PackReader:

@@ -303,3 +303,125 @@ void jrr_pack_load_batch(void* pack, const int64_t* indices, int64_t b,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Pre-warped pack (v2): decode+warp paid ONCE at pack build; steady-state
+// load is a straight u8→f32 conversion (effectively a memcpy) per crop.
+//
+// Layout: Pack2Header, then per frame
+//   spin  crop  uint8 (C, spin_res, spin_res)   [CHW, warp already applied]
+//   image crop  uint8 (C, img_res, img_res)
+//   mask        uint8 (mask_h, mask_w)
+//   meta        float32[3] = (min_x_px, min_y_px, scale_norm)
+// The bbox is baked in at build time (the product's bboxes are static
+// dataset tensors); u8 quantization of the warped crop costs ≤1/510 in
+// [0,1] pixel units — the same LSB the source u8 frames already carry.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Pack2Header {
+  uint64_t magic;  // 'JRRPACK2'
+  uint64_t num_frames;
+  uint32_t spin_res, img_res, img_c;
+  uint32_t mask_h, mask_w;
+};
+constexpr uint64_t kMagic2 = 0x324b434150525252ull;
+
+struct Pack2 {
+  int fd = -1;
+  const uint8_t* base = nullptr;
+  size_t size = 0;
+  Pack2Header hdr;
+  size_t frame_bytes = 0;
+  const uint8_t* Frame(int64_t i) const {
+    return base + sizeof(Pack2Header) + i * frame_bytes;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* jrr_pack2_open(const char* path) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  void* base = mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
+  if (base == MAP_FAILED) {
+    close(fd);
+    return nullptr;
+  }
+  auto* p = new Pack2();
+  p->fd = fd;
+  p->base = static_cast<const uint8_t*>(base);
+  p->size = st.st_size;
+  std::memcpy(&p->hdr, base, sizeof(Pack2Header));
+  if (p->hdr.magic != kMagic2) {
+    munmap(base, st.st_size);
+    close(fd);
+    delete p;
+    return nullptr;
+  }
+  const auto& h = p->hdr;
+  p->frame_bytes =
+      static_cast<size_t>(h.img_c) * h.spin_res * h.spin_res +
+      static_cast<size_t>(h.img_c) * h.img_res * h.img_res +
+      static_cast<size_t>(h.mask_h) * h.mask_w + 3 * sizeof(float);
+  return p;
+}
+
+int64_t jrr_pack2_num_frames(void* pack) {
+  return static_cast<Pack2*>(pack)->hdr.num_frames;
+}
+
+void jrr_pack2_close(void* pack) {
+  auto* p = static_cast<Pack2*>(pack);
+  munmap(const_cast<uint8_t*>(p->base), p->size);
+  close(p->fd);
+  delete p;
+}
+
+void jrr_pack2_load_batch(void* pack, const int64_t* indices, int64_t b,
+                          float* spin_out, float* image_out, float* mask_out,
+                          float* crop_meta, int num_threads) {
+  auto* p = static_cast<Pack2*>(pack);
+  EnsurePool(num_threads > 0 ? num_threads : 1);
+  std::atomic<int64_t> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+
+  const auto& h = p->hdr;
+  const int64_t spin_n = static_cast<int64_t>(h.img_c) * h.spin_res * h.spin_res;
+  const int64_t img_n = static_cast<int64_t>(h.img_c) * h.img_res * h.img_res;
+  const int64_t mask_n = static_cast<int64_t>(h.mask_h) * h.mask_w;
+
+  for (int64_t i = 0; i < b; ++i) {
+    g_pool->Submit([&, i] {
+      const uint8_t* f = p->Frame(indices[i]);
+      const uint8_t* sp = f;
+      const uint8_t* im = sp + spin_n;
+      const uint8_t* mk = im + img_n;
+      const float* mt = reinterpret_cast<const float*>(mk + mask_n);
+      float* sdst = spin_out + i * spin_n;
+      for (int64_t k = 0; k < spin_n; ++k) sdst[k] = sp[k] * (1.f / 255.f);
+      float* idst = image_out + i * img_n;
+      for (int64_t k = 0; k < img_n; ++k) idst[k] = im[k] * (1.f / 255.f);
+      float* mdst = mask_out + i * mask_n;
+      for (int64_t k = 0; k < mask_n; ++k) mdst[k] = mk[k] * (1.f / 255.f);
+      std::memcpy(crop_meta + i * 3, mt, 3 * sizeof(float));
+      if (done.fetch_add(1) + 1 == b) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_all();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == b; });
+}
+
+}  // extern "C"

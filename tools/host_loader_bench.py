@@ -92,6 +92,27 @@ def main():
         "frames": args.frames, "batch": args.batch,
     }), flush=True)
 
+    # --- pre-warped pack loader (v2: load ≈ memcpy; VERDICT r3 item 7) ------
+    t0 = time.perf_counter()
+    pre = native_pipeline.PackedH36MDataset(
+        root, "validation", num_threads=args.threads, prewarped=True
+    )
+    pack2_s = time.perf_counter() - t0
+    best = 0.0
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        n = 0
+        for b in pre.batches(args.batch, shuffle=True, drop_last=True):
+            n += b["spin_image"].shape[0]
+        dt = time.perf_counter() - t0
+        best = max(best, n / dt)
+    results["prewarped"] = best
+    print(json.dumps({
+        "pipeline": "prewarped(Pack2Reader)", "frames_per_sec": round(best, 2),
+        "pack2_build_seconds": round(pack2_s, 1),
+        "frames": args.frames, "batch": args.batch,
+    }), flush=True)
+
     # Device rate per chip = the CURRENT bench.py number (BASELINE.md);
     # override with --device-rate when the bench moves so this gate never
     # silently compares against a stale figure.
@@ -99,9 +120,13 @@ def main():
     print(json.dumps({
         "summary": "host_loader",
         "native_over_python": round(results["native"] / max(results["python"], 1e-9), 1),
+        "prewarped_over_native": round(
+            results["prewarped"] / max(results["native"], 1e-9), 1
+        ),
         "device_rate_frames_per_sec_per_chip": args.device_rate,
         "device_demand_frames_per_sec_v5e8": round(demand, 1),
         "native_meets_demand": results["native"] >= demand,
+        "prewarped_meets_demand": results["prewarped"] >= demand,
     }), flush=True)
 
     if tmp:
