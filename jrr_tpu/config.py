@@ -111,6 +111,15 @@ class SilhouetteConfig:
     # 18.11 mm, IoU 0.698 vs 0.696) — and the same neutral-to-slightly-better
     # picture in the mocap-less (no-j3d) regime.
     interior_skip: Optional[bool] = None
+    # Lane packing (round 4): two sparse tiles (core candidate count ≤ 64)
+    # share one 128-lane kernel row — K_pad=128 is one VREG width, so each
+    # packed pair halves its VPU tile-steps (silhouette_fused.pack_bins).
+    # Packed tiles keep all CORE candidates + the nearest margin candidates
+    # up to 64 (margin is distance-ordered in the binning sort); pairs whose
+    # page-list union exceeds P̂−1 are left unpacked. Only the one-pass
+    # loss+grad kernel consumes the packed layout. Default set by the
+    # round-4 TPU gate (BASELINE.md round 4).
+    lane_pack: bool = False
     # Quality floor: c2f engages only when image_size/coarse_factor >= this.
     # Below it, coarse supervision is too crude and actively HURTS (measured:
     # at 64²→32² on the toy problem the silhouette run ends WORSE than no

@@ -257,6 +257,10 @@ def refine_batch(
                     bins = sf.apply_interior_skip(
                         bins, out_now.vertices, model, cam_sg, spec
                     )
+                if cfg.silhouette.lane_pack:
+                    # Lane-pack AFTER the skip so pairing works on the
+                    # post-skip occupied set (SilhouetteConfig.lane_pack).
+                    bins = sf.pack_bins(bins, model.num_verts)
                 stats = bins.stats
             else:
                 bins = sil_lib.compute_bins(

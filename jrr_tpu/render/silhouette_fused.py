@@ -94,6 +94,19 @@ class FusedBins(NamedTuple):
     # is saturated at 1 (kernel-empty means α≡0, so the loss/alpha entry
     # points reconstruct these tiles' contribution outside the kernel).
     sat_tiles: Optional[jax.Array] = None
+    # (B, G²) i32 CORE candidate counts (pack_bins eligibility input).
+    core_count: Optional[jax.Array] = None
+    # Lane-packed layout (pack_bins; consumed by the one-pass loss+grad
+    # kernel only — the forward/alpha paths keep the unpacked fields above):
+    # packed PAIRS of sparse tiles share one 128-lane candidate row (64 lanes
+    # each); the pair's PRIMARY entry carries both halves, its BUDDY entry is
+    # dump-marked (kernel-empty).
+    p_pages: Optional[jax.Array] = None  # (B, G², P̂) pair-union page lists
+    p_idx: Optional[jax.Array] = None  # (B, G², 3, K_pad) remapped indices
+    p_origin_b: Optional[jax.Array] = None  # (B, G², 2) buddy origin (self when unpacked)
+    p_flags: Optional[jax.Array] = None  # (B, G²) i32: 0 normal, 1 primary, 2 buddy
+    p_buddy: Optional[jax.Array] = None  # (B, G²) i32 buddy tile id (self when unpacked)
+    p_num_pairs: Optional[jax.Array] = None  # (B,) i32 packed pair count
 
 
 def num_pages(num_verts: int) -> int:
@@ -148,7 +161,10 @@ def _fused_bins_one(
     p_hat: int,
     num_verts: int,
 ):
-    """Single-frame fused binning. Returns (origin, pages, idx, stats)."""
+    """Single-frame fused binning. Returns (origin, pages, idx, stats,
+    core_count) — core_count (G²,) is each tile's CORE candidate count
+    (faces intersecting the tile now, before the drift margin), consumed by
+    the lane-packing pass (`pack_bins`)."""
     g = image_size // tile
     f = faces.shape[0]
     k_pad = _round_up(k, _LANES)
@@ -195,31 +211,53 @@ def _fused_bins_one(
         & (tx_ >= tmin0[:, None, None, 0]) & (tx_ <= tmax0[:, None, None, 0])
     )
     tile_id = jnp.where(pair_ok, ty_ * g + tx_, g * g).reshape(-1)
-    # Sort key = 2·tile + margin-only flag: core candidates come first within
-    # each tile, so capacity truncation sheds drift slack before coverage.
-    # Key and face id are PACKED into one int32 ((2·G²+1)·2 < 2¹² tile keys,
-    # F < 2¹⁴ faces ⇒ 26 bits): a single-array sort moves half the bytes of a
-    # key+payload sort, and the TPU sort is the dominant binning cost.
+    # Margin-only candidates are ordered NEAREST-FIRST within each tile: a
+    # 2-bit bucket of the face-bbox→tile-rect distance (in units of the
+    # margin) sits between the (tile, margin-flag) key and the face id, so
+    # when capacity truncation sheds drift slack it keeps the faces most
+    # likely to drift INTO coverage (the former face-id order was spatially
+    # arbitrary). Core candidates carry bucket 0.
+    tile_x0 = tx_.astype(jnp.float32) * tile
+    tile_y0 = ty_.astype(jnp.float32) * tile
+    core_pad_px = pad_px - margin_px
+    bx0 = (jnp.min(xy, axis=1) - core_pad_px)[:, None, None, :]  # (F,1,1,2)
+    bx1 = (jnp.max(xy, axis=1) + core_pad_px)[:, None, None, :]
+    gap_x = jnp.maximum(tile_x0 - bx1[..., 0], bx0[..., 0] - (tile_x0 + tile))
+    gap_y = jnp.maximum(tile_y0 - bx1[..., 1], bx0[..., 1] - (tile_y0 + tile))
+    gap = jnp.maximum(jnp.maximum(gap_x, gap_y), 0.0)  # (F, cap, cap) px
+    bucket = jnp.clip(
+        (gap * (3.0 / max(margin_px, 1e-6))).astype(jnp.int32), 0, 3
+    ).reshape(-1)
+    # Sort key layout (one int32; a single-array sort moves half the bytes of
+    # a key+payload sort, and the TPU sort is the dominant binning cost):
+    #   [ tile·2 + margin-flag : 2-bit distance bucket : 14-bit face id ]
     assert f < (1 << 14), "packed binning sort assumes < 16384 faces"
-    # The key side must also fit: (key << 14) needs max-key = 2·G²+1 < 2^17
-    # or the int32 pack silently overflows and corrupts binning (a 4096-px
-    # image at tile 16 would hit this).
-    assert 2 * g * g + 1 < (1 << 17), (
+    # The key side must fit: (key << 16) needs max-key = 2·G²+1 < 2^15 or the
+    # int32 pack silently overflows and corrupts binning (a 1024-px image at
+    # tile 8 is the limit).
+    assert 2 * g * g + 1 < (1 << 15), (
         f"packed binning sort key overflows int32 for grid {g}x{g}; "
         "use a larger tile_size or a wider pack"
     )
-    key = tile_id * 2 + jnp.where(core.reshape(-1) & (tile_id < g * g), 0, 1)
+    is_core = core.reshape(-1) & (tile_id < g * g)
+    key = tile_id * 2 + jnp.where(is_core, 0, 1)
+    bucket = jnp.where(is_core, 0, bucket)
     face_id = jnp.broadcast_to(
         jnp.arange(f, dtype=jnp.int32)[:, None], (f, cap * cap)
     ).reshape(-1)
-    packed = jax.lax.sort((key << 14) | face_id, is_stable=False)
+    packed = jax.lax.sort((key << 16) | (bucket << 14) | face_id, is_stable=False)
 
     # ONE searchsorted over the g²+1 core boundaries: tile t's candidate run
-    # (core + its trailing margin keys) is [bounds[t], bounds[t+1]).
+    # (core + its trailing margin keys) is [bounds[t], bounds[t+1]); the
+    # core-only run is [bounds[t], core_bounds[t]).
     tiles1 = jnp.arange(g * g + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(packed, (tiles1 * 2) << 14, side="left").astype(jnp.int32)
+    bounds = jnp.searchsorted(packed, (tiles1 * 2) << 16, side="left").astype(jnp.int32)
+    core_bounds = jnp.searchsorted(
+        packed, ((tiles1[:-1] * 2 + 1) << 16), side="left"
+    ).astype(jnp.int32)
     start, end = bounds[:-1], bounds[1:]
     count = end - start
+    core_count = core_bounds - start
 
     # Per-tile slot windows are CONTIGUOUS runs of the sorted array. A plain
     # (G², K) advanced-index gather moves a full (8,128) VREG tile per SCALAR
@@ -300,7 +338,7 @@ def _fused_bins_one(
         dropped_slots=dropped,
         interior_skipped_tiles=jnp.zeros((), jnp.int32),
     )
-    return origin, pages, idx, stats
+    return origin, pages, idx, stats, core_count
 
 
 def compute_fused_bins(
@@ -346,7 +384,7 @@ def compute_fused_bins(
         p_hat=spec.pages_per_tile,
         num_verts=model.num_verts,
     )
-    origin, pages, idx, stats = jax.vmap(one)(verts_screen)
+    origin, pages, idx, stats, core_count = jax.vmap(one)(verts_screen)
     stats = BinStats(
         max_faces_per_tile=jnp.max(stats.max_faces_per_tile),
         truncated_tiles=jnp.sum(stats.truncated_tiles),
@@ -355,7 +393,9 @@ def compute_fused_bins(
         dropped_slots=jnp.sum(stats.dropped_slots),
         interior_skipped_tiles=jnp.sum(stats.interior_skipped_tiles),
     )
-    return FusedBins(origin=origin, pages=pages, idx=idx, stats=stats)
+    return FusedBins(
+        origin=origin, pages=pages, idx=idx, stats=stats, core_count=core_count
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -453,7 +493,171 @@ def apply_interior_skip(
         interior_skipped_tiles=jnp.sum(newly.astype(jnp.int32))
     )
     return FusedBins(
-        origin=bins.origin, pages=pages, idx=idx, stats=stats, sat_tiles=hi_safe
+        origin=bins.origin, pages=pages, idx=idx, stats=stats,
+        sat_tiles=hi_safe, core_count=bins.core_count,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lane packing (round 4): two sparse tiles share one 128-lane candidate row
+# ---------------------------------------------------------------------------
+#
+# The round-3 in-kernel cost attribution (BASELINE.md) established that
+# per-tile kernel cost is FLAT in the true candidate count — K_pad=128 lanes
+# is exactly one VREG width — so the only lane-axis lever is processing TWO
+# tiles per (T², 128) block. Occupancy (tools/occupancy_probe.py): 53% of
+# occupied tiles have ≤64 CORE candidates; those tiles pack pairwise into 64
+# lanes each, halving their kernel tile-steps. Packed tiles keep all their
+# core candidates plus the NEAREST margin candidates up to 64 total (margin
+# is distance-ordered in the sort key — ADVICE r3: packing thins drift slack,
+# so slack retention is by drift-relevance, and the TPU quality battery gates
+# the default). Dense tiles keep the unpacked 128-lane layout. Only the
+# one-pass loss+grad kernel consumes the packed layout; forward/alpha paths
+# (rebin-amortized or eval-only) keep the unpacked fields.
+
+
+def _slot_lookup(table, slots):
+    """table (G², P̂) indexed per row by slots (G², N) → (G², N), as a
+    select-sum over the ≤P̂ slot values (P̂ is tiny; a take_along_axis here
+    moves a 4 KB VREG tile per scalar on TPU)."""
+    p_hat = table.shape[1]
+    out = jnp.zeros(slots.shape, table.dtype)
+    for s in range(p_hat):
+        out = jnp.where(slots == s, table[:, s : s + 1], out)
+    return out
+
+
+def _pack_bins_one(pages, idx, origin, core_count, *, dump, k_half):
+    """Single-frame packing. Returns (p_pages, p_idx, p_origin_b, p_flags,
+    p_buddy, num_pairs)."""
+    g2, p_hat = pages.shape
+    usable = p_hat - 1
+    pg_dim = _round_up(dump + 1, 8)
+    dump_base = (p_hat - 1) * _LANES
+
+    occupied = pages[:, 0] != dump
+    packable = occupied & (core_count <= k_half)
+
+    # Pair packable tiles by tile order (row-major → horizontal neighbors
+    # pair first, maximizing page-list overlap on the Morton-paged tables).
+    rank = jnp.cumsum(packable.astype(jnp.int32)) - 1  # (G²,) valid where packable
+    npack = jnp.sum(packable.astype(jnp.int32))
+    tile_of_rank = jnp.argsort(
+        jnp.where(packable, rank, jnp.int32(2 * g2)), stable=True
+    ).astype(jnp.int32)
+    buddy_rank = rank ^ 1
+    has_buddy = packable & (buddy_rank < npack) & (buddy_rank >= 0)
+    buddy = jnp.where(
+        has_buddy,
+        tile_of_rank[jnp.clip(buddy_rank, 0, g2 - 1)],
+        jnp.arange(g2),
+    )
+
+    # Page-presence of each tile's FIRST k_half slots (the half that packs).
+    # NOTE every small lookup here is a SELECT-SUM over the ≤P̂=16 page slots,
+    # never an advanced-index gather — a (G², K) take_along_axis moves one
+    # 4 KB VREG tile per SCALAR on TPU (the round-2 binning lesson; the first
+    # cut of this pass used gathers and regressed end-to-end 44.8 → 25.5
+    # frames/s/chip).
+    half = idx[:, :, :k_half]  # (G², 3, 64)
+    ps_half = (half >> 7).reshape(g2, -1)  # (G², 3·64) page slots < P̂
+    real_half = (half < dump_base).reshape(g2, -1)
+    gpid = _slot_lookup(pages, ps_half)  # (G², 3·64) global page ids
+    onehot = (
+        (gpid[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, pg_dim), 2))
+        & real_half[:, :, None]
+    )
+    pres = jnp.any(onehot, axis=1)  # (G², pg_dim) bool (dump never real)
+
+    union_pres = pres | pres[buddy]  # (G², pg_dim); symmetric across the pair
+    union_ok = jnp.sum(union_pres.astype(jnp.int32), axis=1) <= usable
+    paired = has_buddy & union_ok & union_ok[buddy]
+    primary = paired & (rank % 2 == 0)
+    is_buddy_role = paired & (rank % 2 == 1)
+
+    # Pair page list: distinct union pages in ascending id order, dump-padded.
+    score = jnp.where(
+        union_pres,
+        pg_dim - jax.lax.broadcasted_iota(jnp.int32, (g2, pg_dim), 1),
+        0,
+    )
+    k_top = min(usable, pg_dim)
+    top, _ = jax.lax.top_k(score, k_top)  # (G², ≤usable) descending score
+    union_list = jnp.where(top > 0, pg_dim - top, dump)
+    if k_top < usable:
+        union_list = jnp.concatenate(
+            [union_list, jnp.full((g2, usable - k_top), dump, jnp.int32)], axis=1
+        )
+    pair_list = jnp.where(
+        paired[:, None], union_list, pages[:, :usable]
+    )  # identity for unpacked tiles
+    pair_pages = jnp.concatenate(
+        [pair_list, jnp.full((g2, 1), dump, jnp.int32)], axis=1
+    )  # (G², P̂)
+
+    # Old page slot → new page slot in the pair list (identity when unpacked).
+    eq = pages[:, :, None] == pair_list[:, None, :]  # (G², P̂, usable)
+    found = jnp.any(eq, axis=-1)
+    remap = jnp.where(found, jnp.argmax(eq, axis=-1).astype(jnp.int32), usable)
+    remap = remap.at[:, p_hat - 1].set(usable)  # dump slot stays the dump slot
+
+    idx_re = _slot_lookup(remap, (idx >> 7).reshape(g2, -1)).reshape(
+        g2, 3, -1
+    ) * _LANES + (idx & 127)  # (G², 3, K_pad)
+
+    # Primary rows: own remapped first half in lanes [0, 64), buddy's
+    # remapped first half in lanes [64, 128). Buddy rows: dump-marked empty.
+    buddy_half = idx_re[buddy][:, :, :k_half]
+    k_pad = idx.shape[-1]
+    corner = jnp.arange(3, dtype=jnp.int32).reshape(1, 3, 1)
+    dump_corner = jnp.broadcast_to(
+        usable * _LANES + corner, (g2, 3, k_pad - k_half)
+    )
+    packed_idx = jnp.concatenate([idx_re[:, :, :k_half], buddy_half], axis=2)
+    p_idx = jnp.where(
+        primary[:, None, None],
+        packed_idx,
+        jnp.where(
+            is_buddy_role[:, None, None],
+            jnp.broadcast_to(usable * _LANES + corner, idx.shape),
+            idx_re,
+        ),
+    )
+    p_pages = jnp.where(
+        is_buddy_role[:, None],
+        dump,
+        pair_pages,
+    )
+    p_origin_b = jnp.where(primary[:, None], origin[buddy], origin)
+    p_flags = jnp.where(primary, 1, jnp.where(is_buddy_role, 2, 0)).astype(jnp.int32)
+    p_buddy = jnp.where(primary, buddy, jnp.arange(g2)).astype(jnp.int32)
+    return p_pages, p_idx, p_origin_b, p_flags, p_buddy, jnp.sum(
+        primary.astype(jnp.int32)
+    )
+
+
+def pack_bins(bins: FusedBins, num_verts: int, k_half: int = 64) -> FusedBins:
+    """Lane-pack a batch's bins (after any interior skip). Adds the p_*
+    fields; the unpacked fields are untouched (forward/alpha paths and the
+    XLA twin keep using them).
+
+    Exactness: a packed tile whose TRUE candidate count (core + margin) is
+    ≤ k_half keeps its full list — identical math to unpacked. A packed tile
+    with core ≤ k_half < union keeps all core + the nearest margin
+    candidates; only drift slack thins (the unpacked layout truncates the
+    same tile's margin at K=96 with the same nearest-first order). Pairs
+    whose page-list union exceeds P̂−1 distinct pages are NOT packed (no
+    candidate is ever dropped by packing itself)."""
+    if bins.core_count is None:
+        raise ValueError("pack_bins needs FusedBins.core_count (re-bin first)")
+    dump = dump_page_id(num_verts)
+    one = functools.partial(_pack_bins_one, dump=dump, k_half=k_half)
+    p_pages, p_idx, p_origin_b, p_flags, p_buddy, pairs = jax.vmap(one)(
+        bins.pages, bins.idx, bins.origin, bins.core_count
+    )
+    return bins._replace(
+        p_pages=p_pages, p_idx=p_idx, p_origin_b=p_origin_b,
+        p_flags=p_flags, p_buddy=p_buddy, p_num_pairs=pairs,
     )
 
 
@@ -943,6 +1147,226 @@ def _fused_sq_err_bwd(tile, inv_sigma, blur_px2, dump_page, chunk, interpret, re
 fused_sq_err.defvjp(_fused_sq_err_fwd, _fused_sq_err_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Lane-packed one-pass loss+grad kernel (see the pack_bins block above)
+# ---------------------------------------------------------------------------
+
+
+def _fused_lossgrad_packed_kernel(
+    pages_ref, origin_ref, origin_b_ref, flags_ref, idx_ref, tx_ref, ty_ref,
+    mask_ref, mask_b_ref, err_ref, dtx_ref, dty_ref,
+    *, tile, k_pad, k_half, inv_sigma, blur_px2, chunk, p_hat,
+    steps_per_frame, dump_page,
+):
+    """One-pass loss+grad with lane-packed tile pairs.
+
+    Identical math to `_fused_lossgrad_kernel` for unpacked entries (the lane
+    product is computed as exp(ΣL)·exp(ΣR) over the two lane halves — a pure
+    reassociation of the unpacked exp(Σ)). A packed PRIMARY entry carries two
+    tiles: tile A's candidates in lanes [0, k_half), tile B's in
+    [k_half, 128); pixel coords, dL/dα and the union product select per lane
+    half, and the error block accumulates both tiles' squared error in the
+    entry's lane. BUDDY entries are dump-marked and take the empty fast path.
+    """
+    t2 = tile * tile
+
+    @pl.when(pl.program_id(0) % steps_per_frame == 0)
+    def _():
+        dtx_ref[...] = jnp.zeros_like(dtx_ref)
+        dty_ref[...] = jnp.zeros_like(dty_ref)
+
+    err_ref[...] = jnp.zeros_like(err_ref)
+
+    for c in range(chunk):
+        is_empty = pages_ref[c, 0] == dump_page
+
+        @pl.when(jnp.logical_not(is_empty))
+        def _():
+            packed = flags_ref[c, 0] == 1
+            mask_a = mask_ref[c, :].reshape(t2, 1)
+            mask_b = mask_b_ref[c, :].reshape(t2, 1)
+            rows, lanes, pss = _tile_rows(
+                tx_ref, ty_ref, pages_ref, idx_ref, c, p_hat=p_hat,
+                k_pad=k_pad, with_indices=True,
+            )
+            # Pixel coords with a per-lane-half origin (origin_b == origin
+            # for unpacked entries, so the select is branchless-correct).
+            pix = jax.lax.broadcasted_iota(jnp.int32, (t2, k_pad), 0)
+            lane_io = jax.lax.broadcasted_iota(jnp.int32, (t2, k_pad), 1)
+            is_b = lane_io >= k_half
+            ox = jnp.where(is_b, origin_b_ref[c, 0], origin_ref[c, 0])
+            oy = jnp.where(is_b, origin_b_ref[c, 1], origin_ref[c, 1])
+            row = pix // tile
+            px_x = ox + (pix - row * tile).astype(jnp.float32)
+            px_y = oy + row.astype(jnp.float32)
+
+            p, _, dmin, inside, edges = sp._coverage_rows(
+                px_x, px_y, rows, inv_sigma=inv_sigma, blur_px2=blur_px2
+            )
+            one_minus = jnp.maximum(1.0 - p, 1e-30)
+            logs = jnp.log(one_minus)
+            sum_l = jnp.sum(
+                jnp.where(is_b, 0.0, logs), axis=-1, keepdims=True
+            )
+            sum_r = jnp.sum(
+                jnp.where(is_b, logs, 0.0), axis=-1, keepdims=True
+            )
+            total_a = jnp.exp(sum_l)  # Π over tile A's lanes
+            total_b = jnp.exp(sum_r)
+            total_f = total_a * total_b  # full-row Π (unpacked tiles)
+
+            alpha_a = 1.0 - jnp.where(packed, total_a, total_f)
+            alpha_b = 1.0 - total_b
+            diff_a = alpha_a - mask_a
+            diff_b = alpha_b - mask_b
+            err_c = jnp.sum(diff_a * diff_a) + jnp.where(
+                packed, jnp.sum(diff_b * diff_b), 0.0
+            )
+            sub = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+            lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+            err_ref[...] = err_ref[...] + jnp.where(
+                (sub == 0) & (lane8 == c), err_c, 0.0
+            )
+
+            pk_b = jnp.logical_and(packed, is_b)  # (t2, k_pad)
+            g_row = jnp.where(pk_b, 2.0 * diff_b, 2.0 * diff_a)
+            total_row = jnp.where(
+                pk_b, total_b, jnp.where(packed, total_a, total_f)
+            )
+            _route_grads_to_pages(
+                g_row, p, dmin, inside, edges, lanes, pss, pages_ref,
+                dtx_ref, dty_ref, c, inv_sigma=inv_sigma, k_pad=k_pad,
+                p_hat=p_hat, dump_page=dump_page, total=total_row,
+            )
+
+
+def _fused_lossgrad_packed_impl(
+    tx, ty, bins: FusedBins, mask_tiles, tile, inv_sigma, blur_px2,
+    dump_page, chunk, interpret, k_half=64,
+):
+    b, pg, _ = tx.shape
+    pages, idx = bins.p_pages, bins.p_idx
+    g2 = pages.shape[1]
+    p_hat = pages.shape[2]
+    k_pad = idx.shape[3]
+    t2 = tile * tile
+    chunk = _pick_chunk(g2, min(chunk, _LANES))
+    grid = (b * g2 // chunk,)
+    steps_per_frame = g2 // chunk
+    # Buddy tiles' mask rows, streamed alongside the primaries' (self for
+    # unpacked rows — tiny gather, ~G² rows per frame, per silhouette step).
+    mask_b = jnp.take_along_axis(mask_tiles, bins.p_buddy[..., None], axis=1)
+    kernel = functools.partial(
+        _fused_lossgrad_packed_kernel, tile=tile, k_pad=k_pad, k_half=k_half,
+        inv_sigma=inv_sigma, blur_px2=blur_px2, chunk=chunk, p_hat=p_hat,
+        steps_per_frame=steps_per_frame, dump_page=dump_page,
+    )
+    flat = lambda x: x.reshape((b * g2,) + x.shape[2:])
+    frame_block = lambda shape: pl.BlockSpec(
+        (None,) + shape, lambda i: (i // steps_per_frame,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    err, dtx, dty = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((chunk, p_hat), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, 3, k_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            frame_block((pg, _LANES)),
+            frame_block((pg, _LANES)),
+            pl.BlockSpec((chunk, t2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, t2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (None, 8, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            frame_block((pg, _LANES)),
+            frame_block((pg, _LANES)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * g2 // chunk, 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, pg, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, pg, _LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        flat(pages), flat(bins.origin), flat(bins.p_origin_b),
+        flat(bins.p_flags[..., None]), flat(idx), tx, ty,
+        mask_tiles.reshape(b * g2, t2), mask_b.reshape(b * g2, t2),
+    )
+    err_occ = jnp.sum(err[:, 0, :].reshape(b, -1), axis=1)
+    # Kernel-empty rows contribute α≡0 ⇒ Σmask² — EXCEPT buddy rows, whose
+    # true error was already accumulated by their primary.
+    empty = (pages[:, :, 0] == dump_page) & (bins.p_flags != 2)
+    err_empty = jnp.sum(
+        jnp.where(empty, jnp.sum(mask_tiles * mask_tiles, axis=-1), 0.0), axis=1
+    )
+    return err_occ + err_empty, dtx, dty
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_sq_err_packed(
+    tx, ty, bins_arrays, mask_tiles,
+    tile, inv_sigma, blur_px2, dump_page, chunk=56, interpret=False,
+):
+    """Per-frame Σ(α − mask)² via the lane-packed one-pass kernel.
+
+    `bins_arrays` = (origin, p_pages, p_idx, p_origin_b, p_flags, p_buddy) —
+    the pytree of packed bin arrays (a tuple so the custom VJP sees plain
+    array leaves). Semantics match `fused_sq_err` up to the documented
+    packing deltas (pack_bins docstring)."""
+    origin, p_pages, p_idx, p_origin_b, p_flags, p_buddy = bins_arrays
+    bins = FusedBins(
+        origin=origin, pages=p_pages, idx=p_idx, stats=None,
+        p_pages=p_pages, p_idx=p_idx, p_origin_b=p_origin_b,
+        p_flags=p_flags, p_buddy=p_buddy,
+    )
+    err, _, _ = _fused_lossgrad_packed_impl(
+        tx, ty, bins, mask_tiles, tile, inv_sigma, blur_px2, dump_page,
+        chunk, interpret,
+    )
+    return err
+
+
+def _fused_sq_err_packed_fwd(tx, ty, bins_arrays, mask_tiles, tile, inv_sigma,
+                             blur_px2, dump_page, chunk, interpret):
+    origin, p_pages, p_idx, p_origin_b, p_flags, p_buddy = bins_arrays
+    bins = FusedBins(
+        origin=origin, pages=p_pages, idx=p_idx, stats=None,
+        p_pages=p_pages, p_idx=p_idx, p_origin_b=p_origin_b,
+        p_flags=p_flags, p_buddy=p_buddy,
+    )
+    err, dtx, dty = _fused_lossgrad_packed_impl(
+        tx, ty, bins, mask_tiles, tile, inv_sigma, blur_px2, dump_page,
+        chunk, interpret,
+    )
+    return err, (dtx, dty, bins_arrays, mask_tiles)
+
+
+def _fused_sq_err_packed_bwd(tile, inv_sigma, blur_px2, dump_page, chunk,
+                             interpret, res, g):
+    dtx, dty, bins_arrays, mask_tiles = res
+    scale = g[:, None, None]
+    zero_i = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    origin, p_pages, p_idx, p_origin_b, p_flags, p_buddy = bins_arrays
+    return (
+        scale * dtx,
+        scale * dty,
+        (
+            jnp.zeros_like(origin), zero_i(p_pages), zero_i(p_idx),
+            jnp.zeros_like(p_origin_b), zero_i(p_flags), zero_i(p_buddy),
+        ),
+        jnp.zeros_like(mask_tiles),
+    )
+
+
+fused_sq_err_packed.defvjp(_fused_sq_err_packed_fwd, _fused_sq_err_packed_bwd)
+
+
 def silhouette_sq_err_fused(
     vertices_smpl: jax.Array,
     model,
@@ -976,6 +1400,17 @@ def silhouette_sq_err_fused(
             spec.tile_size, inv_sigma, blur_px2,
         )
         err = jnp.sum((tiles - mask_tiles) ** 2, axis=(-1, -2))
+    elif bins.p_pages is not None:
+        # Lane-packed layout present (pack_bins): the one-pass kernel
+        # processes packed tile PAIRS in one (T², 128) block each.
+        err = fused_sq_err_packed(
+            tx, ty,
+            (bins.origin, bins.p_pages, bins.p_idx, bins.p_origin_b,
+             bins.p_flags, bins.p_buddy),
+            mask_tiles,
+            spec.tile_size, inv_sigma, blur_px2, dump_page_id(model.num_verts),
+            spec.pallas_chunk, False,
+        )
     else:
         err = fused_sq_err(
             tx, ty, bins.pages, bins.idx, bins.origin, mask_tiles,

@@ -110,6 +110,15 @@ def variants(r):
                 sil, coarse_factor=4, coarse_min_image=56
             )
         ),
+        # Lane-packed tile pairs (round 4; SilhouetteConfig.lane_pack).
+        "lane_pack": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, lane_pack=True)
+        ),
+        "lane_pack_single_res": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, lane_pack=True, coarse_frac=0.0
+            )
+        ),
     }
 
 
@@ -153,10 +162,24 @@ def main():
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        out = fn(model, j_reg, init, data, pose_disc, shape_disc)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+        # Time over DISTINCT inputs: axon dedups re-runs of one executable on
+        # bit-identical args (~0.4 ms return — the CLAUDE.md artifact), which
+        # produced a bogus 0.0 s lane_pack "measurement" on 2026-08-19. A
+        # per-run 1e-6 nudge on the init params changes bits, not workload.
+        import jax.numpy as jnp
+
+        times = []
+        for run in range(1, 3):
+            init_r = jax.tree.map(
+                lambda x, _r=run: x + jnp.asarray(_r * 1e-6, x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                init,
+            )
+            t0 = time.perf_counter()
+            out = fn(model, j_reg, init_r, data, pose_disc, shape_disc)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]  # median (2 runs → the slower)
 
         import numpy as np
 

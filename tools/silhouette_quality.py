@@ -151,6 +151,15 @@ def main():
         # full-size TPU run is the shipping criterion, like every default).
         ("stride2_blur_1e-4_i50_iskip", True, 1e-4, 2,
          dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True)),
+        # Round-4 lane-packing gate: the FULL shipped config ± lane_pack
+        # (identical otherwise). Exact at bin time by construction; the
+        # quality delta, if any, comes from packed tiles' thinner
+        # nearest-first margin slack across the rebin window (ADVICE r3).
+        ("r4_shipped", True, 1e-4, 2,
+         dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True)),
+        ("r4_lanepack", True, 1e-4, 2,
+         dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True,
+              lane_pack=True)),
     ]
     sweeps = [s for s in all_sweeps if args.configs is None or s[0] in args.configs]
     all_regimes = [("production", 1e4), ("no_j3d", 0.0)]
