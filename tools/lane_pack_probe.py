@@ -28,11 +28,31 @@ import jax.numpy as jnp
 
 
 def timeit(fn, *args, reps=10):
+    """Times over DISTINCT inputs: axon dedups re-runs of one executable on
+    bit-identical args (~0.4 ms return — CLAUDE.md), so each rep nudges the
+    first float argument by rep·1e-6 (workload-identical, bit-distinct)."""
+    def nudge(a, eps):
+        done = [False]
+
+        def leaf(x):
+            if not done[0] and hasattr(x, "dtype") and jnp.issubdtype(
+                x.dtype, jnp.floating
+            ):
+                done[0] = True
+                return x + jnp.asarray(eps, x.dtype)
+            return x
+
+        return jax.tree.map(leaf, a)
+
     out = fn(*args)
     jax.block_until_ready(out)
+    variants = [
+        (nudge(args[0], (r + 1) * 1e-6), *args[1:]) for r in range(reps)
+    ]
+    jax.block_until_ready(variants)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
+    for v in variants:
+        out = fn(*v)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps, out
 
