@@ -222,13 +222,80 @@ def run_optimize(
 
     def _maybe_ckpt_acc(shard_id, acc):
         if shard_id % ACC_CKPT_EVERY == ACC_CKPT_EVERY - 1:
-            host = jax.device_get(acc)
-            np.savez(
-                acc_path, gram=host.gram, rhs=host.rhs, count=host.count,
-                upto=shard_id,
-            )
+            # The (V, V) gram pull (~190 MB) and the npz write happen on the
+            # writer thread, ordered AFTER this shard's manifest entry.
+            _wq_put(("acc_ckpt", shard_id, acc))
 
-    for shard_id, batch in enumerate(_prefetch_iter(batches, cfg.data.prefetch)):
+    # JRR_PHASE_TIMING=1 decomposes each batch's wall time by inserting
+    # block_until_ready barriers at phase boundaries (changes overlap, so it
+    # is a diagnostic mode — the phase columns land in the metrics JSONL).
+    phase_timing = os.environ.get("JRR_PHASE_TIMING") == "1"
+
+    # Host→device staging rides the prefetch thread: `map` is lazy, so the
+    # worker inside `_prefetch_iter` runs load AND prep/put for batch k+1
+    # while the main thread waits on batch k's device results — the tunnel
+    # transfer (tens of MB of mask/GT tensors on axon) overlaps compute
+    # instead of serializing in front of each dispatch.
+    def _prep(batch):
+        init, data = _batch_to_device_inputs(batch, spin_fn, cfg)
+        return batch, put_batch(init), put_batch(data)
+
+    staged = _prefetch_iter(map(_prep, batches), cfg.data.prefetch)
+
+    # Shard writes are asynchronous: the writer thread owns every
+    # device→host pull of refined results (np.asarray on the step output
+    # blocks on the step AND pays the tunnel read), so the main thread can
+    # dispatch batch k+1 while shard k drains. Accumulator checkpoints ride
+    # the SAME ordered queue — the acc snapshot taken at shard N must never
+    # hit disk before shard N's manifest entry (resume would double-count
+    # shard N into the restored accumulator).
+    import queue as queue_mod
+    import threading
+
+    wq: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+    werr: list = []
+
+    def _writer():
+        while True:
+            item = wq.get()
+            if item is None:
+                return
+            try:
+                kind, sid, payload = item
+                if kind == "shard":
+                    manifest.write_shard(
+                        sid, {k: np.asarray(v) for k, v in payload.items()}
+                    )
+                else:  # "acc_ckpt"
+                    host = jax.device_get(payload)
+                    np.savez(
+                        acc_path, gram=host.gram, rhs=host.rhs,
+                        count=host.count, upto=sid,
+                    )
+            except BaseException as e:  # surface in the main thread
+                werr.append(e)
+                return
+
+    writer_thread = threading.Thread(target=_writer, daemon=True)
+    writer_thread.start()
+
+    def _check_writer():
+        if werr:
+            raise RuntimeError("async shard writer failed") from werr[0]
+
+    def _wq_put(item):
+        # A dead writer stops draining; a bare put on the full queue would
+        # deadlock. Poll the error list while waiting.
+        while True:
+            _check_writer()
+            try:
+                wq.put(item, timeout=5.0)
+                return
+            except queue_mod.Full:
+                continue
+
+    for shard_id, (batch, init, data) in enumerate(staged):
+        _check_writer()
         if resume and shard_id <= acc_upto and manifest.is_done(shard_id):
             continue  # already folded into the checkpointed accumulator
         if resume and manifest.is_done(shard_id):
@@ -282,32 +349,61 @@ def run_optimize(
             _maybe_ckpt_acc(shard_id, acc)
             continue
         t0 = time.time()
-        init, data = _batch_to_device_inputs(batch, spin_fn, cfg)
-        init, data = put_batch(init), put_batch(data)
+        phases = {}
+        if phase_timing:
+            # Residual staging wait (the prefetch thread did load+prep+put).
+            jax.block_until_ready((init, data))
+            phases["prep"] = time.time() - t0
+        t1 = time.time()
         state, m, result = step_fn(state, model_dev, init, data)
+        if phase_timing:
+            jax.block_until_ready((state, m, result))
+            phases["step"] = time.time() - t1
+        t1 = time.time()
 
         pelvis = result.joints3d[:, :1]
         acc = accumulate(acc, result.vertices, data.gt_j3d, pelvis)
+        if phase_timing:
+            jax.block_until_ready(acc)
+            phases["acc"] = time.time() - t1
+        t1 = time.time()
 
-        manifest.write_shard(
+        _wq_put((
+            "shard",
             shard_id,
             {
-                "pose6d": np.asarray(result.params.pose6d),
-                "orient6d": np.asarray(result.params.orient6d),
-                "betas": np.asarray(result.params.betas),
-                "cam_t": np.asarray(result.params.cam_t),
-                "joints3d": np.asarray(result.joints3d),
+                "pose6d": result.params.pose6d,
+                "orient6d": result.params.orient6d,
+                "betas": result.params.betas,
+                "cam_t": result.params.cam_t,
+                "joints3d": result.joints3d,
                 # Frame identity for resume-time pairing validation.
                 "gt_j3d": np.asarray(batch["gt_j3d"]),
             },
-        )
+        ))
+        if phase_timing:
+            phases["write_enqueue"] = time.time() - t1
+        t1 = time.time()
         _maybe_ckpt_acc(shard_id, acc)
         if logger is not None:
-            rec = outer_metrics_record(m)
+            if phase_timing:
+                phases["ckpt"] = time.time() - t1
+            t1 = time.time()
+            # ONE transfer for the whole scalar pytree + step counter: on the
+            # axon backend every host read is a tunnel round trip, and the
+            # per-field float() path costs ~17 of them per batch.
+            m_host, step_host = jax.device_get((m, state.step))
+            rec = outer_metrics_record(m_host)
+            if phase_timing:
+                phases["log_pull"] = time.time() - t1
+                rec.update({f"phase_{k}_s": round(v, 4) for k, v in phases.items()})
             rec["shard"] = shard_id
             rec["batch_seconds"] = time.time() - t0
-            logger.log(rec, step=int(jax.device_get(state.step)))
+            logger.log(rec, step=int(step_host))
 
+    _wq_put(None)
+    writer_thread.join()
+    _check_writer()
     ckpt_lib.save_train_state(os.path.join(out_dir, "ckpt"), jax.device_get(state), int(jax.device_get(state.step)))
     return jax.device_get(state), jax.device_get(acc), manifest
 

@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--stage-a", type=int, default=1000)
     ap.add_argument("--stage-b", type=int, default=100)
     ap.add_argument("--fresh", action="store_true", help="rebuild fixtures+pack")
+    ap.add_argument(
+        "--optimize-only", action="store_true",
+        help="time run_optimize alone (skip the eval tail) — for iterating "
+             "on the per-batch loop; set JRR_PHASE_TIMING=1 to decompose",
+    )
     args = ap.parse_args()
 
     import dataclasses
@@ -106,10 +111,25 @@ def main():
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
     logger = MetricsLogger(path=metrics_path)
     t0 = time.perf_counter()
-    run_pipeline(
-        cfg, data_root=data_root, out_dir=out_dir, demo=True,
-        logger=logger, loader="native", model=model, demo_frames=n_frames,
-    )
+    if args.optimize_only:
+        from jrr_tpu.pipeline import run_optimize
+
+        packed = native_pipeline.PackedH36MDataset(data_root, "validation")
+
+        def epoch_batches():
+            yield from packed.batches(
+                args.batch, seed=cfg.data.shuffle_seed, epoch=0, drop_last=True
+            )
+
+        run_optimize(
+            cfg, model, j_reg_raw, epoch_batches(), out_dir, logger=logger,
+            use_mesh=True, resume=False,
+        )
+    else:
+        run_pipeline(
+            cfg, data_root=data_root, out_dir=out_dir, demo=True,
+            logger=logger, loader="native", model=model, demo_frames=n_frames,
+        )
     total_s = time.perf_counter() - t0
     logger.close()
 
@@ -120,9 +140,15 @@ def main():
     optimize_s = sum(per_batch)
     frames = args.batch * len(per_batch)
     # First batch carries every compile (axon: 10-400 s); the steady-state
-    # product rate is what a long production run converges to.
+    # product rate is what a long production run converges to. With the
+    # async writer + staged inputs, `batch_seconds` no longer covers queue
+    # waits — steady-state pacing is the WALL time between consecutive
+    # record timestamps, which includes every stall wherever it hides.
     steady = per_batch[1:] or per_batch
-    steady_s = sum(steady)
+    if len(shard_recs) >= 2:
+        steady_s = shard_recs[-1]["ts"] - shard_recs[0]["ts"]
+    else:
+        steady_s = sum(steady)
     steady_frames = args.batch * len(steady)
 
     print(json.dumps({
