@@ -32,7 +32,10 @@ class RegressorConsumer(Protocol):
 
     Called with an ImageNet-normalized (B, 3, 224, 224) crop batch and the
     pre-normalized regressor (reference: scripts/test.py:206-212 normalizes
-    once up front); returns (B, 17, 3) joints in meters.
+    once up front); returns (B, 17, 3) joints in meters. A stacked (K, 17, V)
+    regressor must yield (K, B, 17, 3) — free for any consumer that ends in
+    `jreg_lib.apply_jreg` (its einsum broadcasts leading regressor axes), and
+    how the harness scores K regressors with ONE pass of the network trunk.
     """
 
     def __call__(self, spin_image: jax.Array, j_regressor: jax.Array) -> jax.Array: ...
@@ -72,8 +75,15 @@ class _MeanAccumulator:
         self.batches = 0
 
     def add(self, errors: metrics_lib.PoseErrors, count: int):
-        self.mpjpe_sum += float(jnp.mean(errors.per_frame_mpjpe))
-        self.pampjpe_sum += float(jnp.mean(errors.per_frame_pa_mpjpe))
+        self.add_means(
+            float(jnp.mean(errors.per_frame_mpjpe)),
+            float(jnp.mean(errors.per_frame_pa_mpjpe)),
+            count,
+        )
+
+    def add_means(self, mpjpe_mean: float, pampjpe_mean: float, count: int):
+        self.mpjpe_sum += float(mpjpe_mean)
+        self.pampjpe_sum += float(pampjpe_mean)
         self.n += count
         self.batches += 1
 
@@ -102,6 +112,57 @@ def smpl_joint_fn(model: smpl_lib.SMPLModel):
     return fn
 
 
+@jax.jit
+def _eval_regressors_jit(model, pose6d, betas, gt_j3d_mm, j_reg_norms):
+    """One SMPL forward, K regressors scored on the same vertices.
+
+    Returns (K, 2) batch-mean [MPJPE, PA-MPJPE]. The whole metric —
+    including the per-frame Procrustes alignment — stays on device; the
+    caller pulls ONE tiny array per batch (every host read on the axon
+    backend is a tunnel round trip)."""
+    rotmats = rotations.rot6d_to_rotmat(pose6d)
+    out = smpl_lib.smpl_forward(model, betas, rotmats[:, :1], rotmats[:, 1:])
+    vertices = out.vertices
+
+    def per_reg(norm):
+        errors = metrics_lib.evaluate(jreg_lib.apply_jreg(norm, vertices), gt_j3d_mm)
+        return jnp.stack([
+            jnp.mean(errors.per_frame_mpjpe), jnp.mean(errors.per_frame_pa_mpjpe)
+        ])
+
+    return jax.vmap(per_reg)(j_reg_norms)
+
+
+def evaluate_regressors(
+    model: smpl_lib.SMPLModel,
+    predictions: Iterable[Dict[str, np.ndarray]],
+    j_regs,
+    jreg_mask: Optional[jax.Array] = None,
+):
+    """Score ANY number of regressors over one pass of the predictions.
+
+    The reference's eval (scripts/test.py:76-138) re-runs the body model per
+    regressor; here the vertices are computed once per batch and every
+    regressor (initial / retrained / lstsq-fit) is applied to them inside one
+    jitted program. Returns a list of EvalResult, one per entry of `j_regs`.
+    """
+    norms = jnp.stack(
+        [jreg_lib.normalize_jreg(jnp.asarray(j), jreg_mask) for j in j_regs]
+    )
+    accs = [_MeanAccumulator() for _ in j_regs]
+    for batch in predictions:
+        pose6d = jnp.asarray(batch["pose6d"])
+        betas = jnp.asarray(batch["betas"])
+        gt = jnp.asarray(batch["gt_j3d"])
+        means = np.asarray(
+            _eval_regressors_jit(model, pose6d, betas, gt, norms)
+        )  # (K, 2)
+        n = pose6d.shape[0]
+        for k, acc in enumerate(accs):
+            acc.add_means(means[k, 0], means[k, 1], n)
+    return [acc.result() for acc in accs]
+
+
 def evaluate_regressor_pair(
     model: smpl_lib.SMPLModel,
     predictions: Iterable[Dict[str, np.ndarray]],
@@ -114,19 +175,10 @@ def evaluate_regressor_pair(
     `predictions` yields dicts with 'pose6d' (B, 24, 6), 'betas' (B, 10),
     'gt_j3d' (B, 17, 3) mm — i.e. initializer outputs per batch.
     """
-    joints = smpl_joint_fn(model)
-    norm_init = jreg_lib.normalize_jreg(j_reg_initial, jreg_mask)
-    norm_retr = jreg_lib.normalize_jreg(j_reg_retrained, jreg_mask)
-
-    acc_before, acc_after = _MeanAccumulator(), _MeanAccumulator()
-    for batch in predictions:
-        pose6d = jnp.asarray(batch["pose6d"])
-        betas = jnp.asarray(batch["betas"])
-        gt = jnp.asarray(batch["gt_j3d"])
-        n = pose6d.shape[0]
-        acc_before.add(metrics_lib.evaluate(joints(pose6d, betas, norm_init), gt), n)
-        acc_after.add(metrics_lib.evaluate(joints(pose6d, betas, norm_retr), gt), n)
-    return BeforeAfter(before=acc_before.result(), after=acc_after.result())
+    before, after = evaluate_regressors(
+        model, predictions, [j_reg_initial, j_reg_retrained], jreg_mask
+    )
+    return BeforeAfter(before=before, after=after)
 
 
 def evaluate_consumer(
@@ -140,16 +192,22 @@ def evaluate_consumer(
     (reference: scripts/test.py:237-301): the regressors are normalized once,
     predictions are pelvis-centered, before/after compared on the same batches.
     """
-    norm_init = jreg_lib.normalize_jreg(j_reg_initial, jreg_mask)
-    norm_retr = jreg_lib.normalize_jreg(j_reg_retrained, jreg_mask)
+    norms = jnp.stack([
+        jreg_lib.normalize_jreg(j_reg_initial, jreg_mask),
+        jreg_lib.normalize_jreg(j_reg_retrained, jreg_mask),
+    ])
 
     acc_before, acc_after = _MeanAccumulator(), _MeanAccumulator()
     for batch in batches:
         img = jnp.asarray(batch["spin_image"])
         gt = jnp.asarray(batch["gt_j3d"])
         n = img.shape[0]
-        for norm, acc in ((norm_init, acc_before), (norm_retr, acc_after)):
-            kp3d = consumer(img, norm)
+        # ONE consumer call scores both regressors: the network trunk
+        # (backbone + temporal model + SMPL) does not depend on the
+        # regressor — `apply_jreg` broadcasts the stacked (2, 17, V) into
+        # (2, B, 17, 3). The reference runs the video model per regressor.
+        kp3d_all = consumer(img, norms)
+        for kp3d, acc in zip(kp3d_all, (acc_before, acc_after)):
             kp3d = jreg_lib.move_pelvis(kp3d)
             acc.add(metrics_lib.evaluate(kp3d, gt), n)
     return BeforeAfter(before=acc_before.result(), after=acc_after.result())
@@ -174,8 +232,10 @@ def evaluate_consumer_sequences(
     the `frame_index`-th frame of each chunk is scored. Leftover frames that
     don't fill a chunk are dropped (the reference's chunking drops them too).
     """
-    norm_init = jreg_lib.normalize_jreg(j_reg_initial, jreg_mask)
-    norm_retr = jreg_lib.normalize_jreg(j_reg_retrained, jreg_mask)
+    norms = jnp.stack([
+        jreg_lib.normalize_jreg(j_reg_initial, jreg_mask),
+        jreg_lib.normalize_jreg(j_reg_retrained, jreg_mask),
+    ])
 
     acc_before, acc_after = _MeanAccumulator(), _MeanAccumulator()
     for batch in batches:
@@ -192,9 +252,11 @@ def evaluate_consumer_sequences(
                 :, frame_index
             ]
         )
-        for norm, acc in ((norm_init, acc_before), (norm_retr, acc_after)):
-            kp3d = seq_consumer(video, norm)[:, frame_index]
-            kp3d = jreg_lib.move_pelvis(kp3d)
+        # One video-model pass scores both regressors (see evaluate_consumer):
+        # stacked output is (2, C, T, 17, 3).
+        kp3d_all = seq_consumer(video, norms)
+        for kp3d, acc in zip(kp3d_all, (acc_before, acc_after)):
+            kp3d = jreg_lib.move_pelvis(kp3d[:, frame_index])
             acc.add(metrics_lib.evaluate(kp3d, gt_sel), n_chunks)
     return BeforeAfter(before=acc_before.result(), after=acc_after.result())
 

@@ -289,7 +289,9 @@ def make_sequence_consumer(smpl_model, model, variables):
             mdl, betas.reshape(c * t, 10), rotm[:, :1], rotm[:, 1:]
         )
         joints = jreg_lib.apply_jreg(j_regressor, out.vertices)
-        return joints.reshape((c, t) + joints.shape[1:])
+        # A stacked (K, 17, V) regressor yields (K, c·t, 17, 3) — unfold the
+        # chunk/time axes in place, keeping any leading regressor axis.
+        return joints.reshape(joints.shape[:-3] + (c, t) + joints.shape[-2:])
 
     def consumer(video, j_regressor):
         return _consumer(variables, smpl_model, video, j_regressor)

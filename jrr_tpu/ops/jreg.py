@@ -52,9 +52,14 @@ def normalize_jreg(j_reg: jax.Array, mask: Optional[jax.Array] = None) -> jax.Ar
 
 
 def apply_jreg(j_reg_normalized: jax.Array, vertices: jax.Array) -> jax.Array:
-    """(J, V) row-stochastic regressor × (B, V, 3) vertices → (B, J, 3) joints."""
+    """(J, V) row-stochastic regressor × (B, V, 3) vertices → (B, J, 3) joints.
+
+    Leading regressor axes broadcast: a stacked (K, J, V) input yields
+    (K, B, J, 3) — the eval harness scores several regressors (initial /
+    retrained / lstsq) on ONE set of vertices this way, so a consumer's
+    network trunk runs once, not once per regressor."""
     return jnp.einsum(
-        "jv,bvc->bjc",
+        "...jv,bvc->...bjc",
         j_reg_normalized,
         vertices,
         preferred_element_type=jnp.float32,

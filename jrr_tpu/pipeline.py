@@ -626,22 +626,19 @@ def run_pipeline(
                 betas = batch["betas"]
             yield {"pose6d": pose6d, "betas": betas, "gt_j3d": batch["gt_j3d"]}
 
-    # Materialize once: both regressor pairs are scored on the SAME
-    # predictions, and with a live spin_fn a second generator pass would
-    # re-run the ResNet-50 over the whole eval split.
-    preds = list(predictions())
-
-    before_after = harness.evaluate_regressor_pair(
-        model, preds, jnp.asarray(j_reg_initial), jnp.asarray(j_reg_final)
+    # ONE pass over the eval split scores all three regressors (initial /
+    # Adam-path final / lstsq fit) on the same per-batch SMPL vertices —
+    # the initializer (and live SPIN network, when given) runs once, not
+    # once per regressor (harness.evaluate_regressors).
+    res_init, res_final, res_lstsq = harness.evaluate_regressors(
+        model, predictions(), [j_reg_initial, j_reg_final, j_reg_lstsq]
     )
+    before_after = harness.BeforeAfter(before=res_init, after=res_final)
     print(before_after.summary())
 
-    lstsq_pair = harness.evaluate_regressor_pair(
-        model, preds, jnp.asarray(j_reg_initial), jnp.asarray(j_reg_lstsq)
-    )
     print(
-        f"\nafter (lstsq fit)\nMPJPE\n{lstsq_pair.after.mpjpe:.4f}\n"
-        f"PAMPJPE\n{lstsq_pair.after.pa_mpjpe:.4f}"
+        f"\nafter (lstsq fit)\nMPJPE\n{res_lstsq.mpjpe:.4f}\n"
+        f"PAMPJPE\n{res_lstsq.pa_mpjpe:.4f}"
     )
 
     # Consumer-path evals (reference: main.py:26-27 → scripts/test.py:141-301):
