@@ -73,6 +73,12 @@ class SilhouetteConfig:
     # 33.0 frames/s/chip) for ≤0.9 mm final vertex error vs stride 1
     # (BASELINE.md round 3). 1 = reference behavior (every step).
     step_stride: int = 2
+    # Stride override for the COARSE c2f phase only (None → step_stride).
+    # The coarse phase is a basin-widener — its silhouette signal positions
+    # the body roughly while the fine phase does band-scale polish — so it
+    # may tolerate sparser striding than the fine phase (round-4 probe;
+    # see BASELINE.md round-4 stride table for the measured verdict).
+    coarse_step_stride: Optional[int] = None
     # Coarse-to-fine stage B: the FIRST floor(coarse_frac · stage_b_steps)
     # steps rasterize at image_size/coarse_factor — tile_size and bin margin
     # divided by the same factor, so occupied-tile and per-tile candidate

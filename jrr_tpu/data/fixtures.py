@@ -31,8 +31,18 @@ def make_synthetic_frames(
     image_size: int = constants.CROP_RES,
     render_masks: bool = True,
     pose_scale: float = 1.0,
+    depth_range: tuple = (18.0, 28.0),
 ):
-    """Returns (FrameParams gt, FrameBatch data) on the default backend."""
+    """Returns (FrameParams gt, FrameBatch data) on the default backend.
+
+    `depth_range` sets the camera z draw. The historical default (18, 28)
+    projects bodies 1.5-2.5× LARGER than a real SPIN crop (weak-perspective
+    scale s = 2·focal/(S·z) = 1.6-2.5 at focal 5000 / S 224 — the body
+    overflows the crop); it is kept as the default because golden fixtures
+    and many tests are pinned to it, and an oversized body is a useful
+    rasterizer stress. Pass (36.0, 60.0) for SPIN-crop-realistic scale
+    (s ≈ 0.75-1.25, the same range bench.py's synthetic problem uses —
+    reference: scripts/optimize.py:170-173 weak-persp init)."""
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +59,7 @@ def make_synthetic_frames(
         cam_t=jnp.asarray(
             np.stack(
                 [rng.uniform(-0.1, 0.1, num_frames), rng.uniform(-0.1, 0.1, num_frames),
-                 rng.uniform(18, 28, num_frames)], axis=-1,
+                 rng.uniform(depth_range[0], depth_range[1], num_frames)], axis=-1,
             ).astype(np.float32)
         ),
     )
@@ -76,6 +86,7 @@ def write_fixture_dataset(
     model: Optional[smpl_lib.SMPLModel] = None,
     j_reg_raw: Optional[np.ndarray] = None,
     num_sequences: int = 2,
+    depth_range: tuple = (18.0, 28.0),
 ) -> str:
     """Write a dataset directory consumable by `H36MDataset(root, 'validation')`.
 
@@ -97,7 +108,9 @@ def write_fixture_dataset(
                 0.5, 1.0, 6
             )
 
-    gt, data = make_synthetic_frames(model, j_reg_raw, num_frames, seed=seed)
+    gt, data = make_synthetic_frames(
+        model, j_reg_raw, num_frames, seed=seed, depth_range=depth_range
+    )
 
     split_dir = os.path.join(root, "precomputed_val")
     img_dir = os.path.join(root, "imageSequence")

@@ -114,6 +114,11 @@ def refine_batch(
                 sil, coarse_frac=0.0, image_size=sil.image_size // factor,
                 tile_size=sil.tile_size // factor,
                 bin_margin_px=sil.bin_margin_px / factor,
+                step_stride=(
+                    sil.step_stride
+                    if sil.coarse_step_stride is None
+                    else sil.coarse_step_stride
+                ),
             ),
         )
         cfg_fine = dataclasses.replace(

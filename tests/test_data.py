@@ -146,6 +146,37 @@ class TestFixtureDataset:
         assert item["valid"] is True
         assert item["mask_rcnn"][0, 0, 0] == 0  # marker zeroed
 
+    def test_depth_range(self, tmp_path):
+        """depth_range controls projected body scale: the SPIN-crop-realistic
+        (36, 60) draw (weak-persp s 0.75-1.25, same statistics as bench.py's
+        synthetic camera) yields stored translations in range and a smaller
+        silhouette than the historical oversized-body default (18, 28)."""
+        root = fixtures.write_fixture_dataset(
+            str(tmp_path / "spin"), num_frames=3, seed=0,
+            depth_range=(36.0, 60.0),
+        )
+        z = np.load(
+            str(tmp_path / "spin" / "precomputed_val" / "tensors.npz")
+        )["estimated_translation"][:, 2]
+        assert np.all((z > 35.0) & (z < 61.0)), z
+
+        from jrr_tpu.models import smpl as smpl_lib
+
+        model = smpl_lib.synthetic_smpl_model(seed=0, num_verts=256, num_faces=500)
+        rng = np.random.default_rng(0)
+        j_reg = np.zeros((17, 256), np.float32)
+        for j in range(17):
+            j_reg[j, rng.choice(256, 6, replace=False)] = rng.uniform(0.5, 1.0, 6)
+        _, d_near = fixtures.make_synthetic_frames(
+            model, j_reg, 4, seed=0, image_size=64
+        )
+        _, d_far = fixtures.make_synthetic_frames(
+            model, j_reg, 4, seed=0, image_size=64, depth_range=(36.0, 60.0)
+        )
+        near = float(np.mean(np.asarray(d_near.mask)))
+        far = float(np.mean(np.asarray(d_far.mask)))
+        assert far < near, (near, far)
+
     def test_batch_loader(self, tmp_path):
         root = fixtures.write_fixture_dataset(str(tmp_path), num_frames=6, seed=1)
         ds = h36m.H36MDataset(root, "validation")

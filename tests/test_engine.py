@@ -208,6 +208,47 @@ class TestStageB:
         res_sr = engine.refine_batch(model, j_reg, init, data, floor)
         assert np.asarray(res_sr.stage_b_terms.total).shape == (25,)
 
+    def test_coarse_step_stride(self):
+        """coarse_step_stride strides only the coarse c2f phase: None is
+        bit-identical to an explicit equal stride, and a sparser coarse
+        stride still refines finitely with the full stage-B term record."""
+        sil = SilhouetteConfig(
+            image_size=32, tile_size=8, faces_per_tile=64,
+            sigma=5e-3, blur_radius=0.05,
+            coarse_frac=0.4, coarse_factor=2, coarse_min_image=16,
+            rebin_interval=5, step_stride=2,
+        )
+        cfg = dataclasses.replace(
+            RefinerConfig(), stage_a_steps=5, stage_b_steps=20, silhouette=sil
+        )
+        model, j_reg, gt = _setup(batch=2)
+        data = _gt_data(model, j_reg, gt, cfg, with_mask=True)
+        init = _perturb(gt, 0.05)
+
+        run = lambda c: jax.jit(
+            lambda i, d: engine.refine_batch(model, j_reg, i, d, c)
+        )(init, data)
+        res_none = run(cfg)
+        res_same = run(
+            dataclasses.replace(
+                cfg, silhouette=dataclasses.replace(sil, coarse_step_stride=2)
+            )
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_none.joints3d), np.asarray(res_same.joints3d)
+        )
+
+        res4 = run(
+            dataclasses.replace(
+                cfg, silhouette=dataclasses.replace(sil, coarse_step_stride=4)
+            )
+        )
+        total = np.asarray(res4.stage_b_terms.total)
+        assert total.shape == (20,)
+        assert np.all(np.isfinite(total))
+        # The sparser coarse stride changes the coarse-phase trajectory.
+        assert not np.array_equal(np.asarray(res4.joints3d), np.asarray(res_none.joints3d))
+
     def test_empty_mask_frame_stays_finite(self):
         """A frame whose mask is all background (person-segmentation failure:
         the reference would feed an all-zero pixel_annotation the same way)

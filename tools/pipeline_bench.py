@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--stage-b", type=int, default=100)
     ap.add_argument("--fresh", action="store_true", help="rebuild fixtures+pack")
     ap.add_argument(
+        "--oversized-bodies", action="store_true",
+        help="use the historical fixture camera (z 18-28: bodies 1.6-2.5× "
+             "crop height — a rasterizer stress scene). Default is the "
+             "SPIN-crop-realistic z 36-60 (weak-persp s 0.75-1.25, the same "
+             "scale statistics bench.py and real SPIN crops have).",
+    )
+    ap.add_argument(
         "--optimize-only", action="store_true",
         help="time run_optimize alone (skip the eval tail) — for iterating "
              "on the per-batch loop; set JRR_PHASE_TIMING=1 to decompose",
@@ -73,12 +80,30 @@ def main():
         )
 
     # --- one-time costs (excluded from the steady-state product rate) -------
+    depth_range = (18.0, 28.0) if args.oversized_bodies else (36.0, 60.0)
+    stamp_path = os.path.join(args.out, "scene.json")
+    if os.path.exists(os.path.join(data_root, "precomputed_val")):
+        stamp = None
+        if os.path.exists(stamp_path):
+            with open(stamp_path) as f:
+                stamp = json.load(f)
+        if stamp is None or tuple(stamp.get("depth_range", ())) != depth_range or (
+            stamp.get("frames") != n_frames
+        ):
+            raise SystemExit(
+                f"cached fixtures at {args.out} were built with "
+                f"{stamp} (None = pre-stamp cache) — pass --fresh to rebuild "
+                f"for depth_range={depth_range}, frames={n_frames}"
+            )
     if not os.path.exists(os.path.join(data_root, "precomputed_val")):
         t0 = time.perf_counter()
         fixtures.write_fixture_dataset(
             data_root, num_frames=n_frames, seed=0, model=model,
-            j_reg_raw=j_reg_raw,
+            j_reg_raw=j_reg_raw, depth_range=depth_range,
         )
+        os.makedirs(args.out, exist_ok=True)
+        with open(stamp_path, "w") as f:
+            json.dump({"depth_range": list(depth_range), "frames": n_frames}, f)
         print(json.dumps({
             "phase": "fixture_build_once", "seconds": round(time.perf_counter() - t0, 1),
             "frames": n_frames,

@@ -70,6 +70,22 @@ def variants(r):
         "stride4": dataclasses.replace(
             r, silhouette=dataclasses.replace(sil, step_stride=4)
         ),
+        # Round-4 stride refinements (quality gate: tools/silhouette_quality
+        # --extra-stride-variants): the r3 decision tested only 2 and 4;
+        # stride 3 sits between the shipped 2 (9.4 mm) and the rejected 4
+        # (11.6 mm), and coarse-only striding leaves the fine phase's
+        # band-scale polish untouched.
+        "stride3": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, step_stride=3)
+        ),
+        "coarse_stride4": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, coarse_step_stride=4)
+        ),
+        "stride3_coarse4": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, step_stride=3, coarse_step_stride=4
+            )
+        ),
         "stride2_interval50": dataclasses.replace(
             r, silhouette=dataclasses.replace(
                 sil, step_stride=2, rebin_interval=50, bin_margin_px=8.0

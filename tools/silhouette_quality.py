@@ -160,6 +160,18 @@ def main():
         ("r4_lanepack", True, 1e-4, 2,
          dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True,
               lane_pack=True)),
+        # Round-4 stride refinements vs the shipped config (r4_shipped):
+        # stride 3 sits between the shipped 2 and the quality-rejected 4;
+        # coarse_step_stride=4 strides only the basin-widening coarse phase,
+        # leaving the fine phase's band-scale polish at stride 2.
+        ("r4_stride3", True, 1e-4, 3,
+         dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True)),
+        ("r4_coarse_stride4", True, 1e-4, 2,
+         dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True,
+              coarse_step_stride=4)),
+        ("r4_stride3_coarse4", True, 1e-4, 3,
+         dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True,
+              coarse_step_stride=4)),
     ]
     sweeps = [s for s in all_sweeps if args.configs is None or s[0] in args.configs]
     all_regimes = [("production", 1e4), ("no_j3d", 0.0)]
