@@ -279,16 +279,45 @@ def jreg_lstsq_accumulate(
     )
 
 
+def _project_columns_to_simplex(w: jax.Array) -> jax.Array:
+    """Euclidean projection of each COLUMN of (V, J) onto {x ≥ 0, Σx = 1}.
+
+    Sort-and-threshold algorithm (Duchi et al. 2008), vectorized over
+    columns. One XLA sort of (V, J) per call — expensive per CLAUDE.md's
+    sort rule, but this runs inside a once-per-dataset fit, not a hot loop.
+    """
+    u = jnp.flip(jnp.sort(w, axis=0), axis=0)  # descending per column
+    css = jnp.cumsum(u, axis=0) - 1.0
+    idx = jnp.arange(1, w.shape[0] + 1, dtype=w.dtype)[:, None]
+    # ρ = #{i : u_i − (cumsum_i − 1)/i > 0} ≥ 1 (holds at i=1 always).
+    rho = jnp.sum((u - css / idx) > 0, axis=0)
+    tau = jnp.take_along_axis(css, (rho - 1)[None, :], axis=0) / rho.astype(w.dtype)
+    return jnp.maximum(w - tau, 0.0)
+
+
 def jreg_lstsq_solve(
     acc: JRegLstsqAccumulator, ridge: float = 1e-4, nnls_steps: int = 200
 ) -> jax.Array:
-    """Solve the accumulated system under the nonnegativity constraint.
+    """Solve the accumulated system over the DEPLOYED regressor class.
 
-    Ridge-regularized normal-equation solve (one (V, V) Cholesky — MXU work,
-    O(V³)≈3e11 flops at V=6890, ~a second on one chip) followed by projected
-    gradient descent on the same quadratic to honor w ≥ 0 properly (a plain
-    solve-then-ReLU projection badly distorts under-determined fits).
-    Returns a (17, V) raw regressor.
+    The regressor is always consumed through `normalize_jreg` — ReLU + row
+    normalization (reference find_joints semantics, scripts/utils.py:87-92) —
+    whose image is exactly the per-joint probability simplex {w ≥ 0, Σw = 1}.
+    Fitting under w ≥ 0 alone is WRONG for deployment: the eval-time row
+    normalization rescales each fitted joint's position by 1/Σw, a per-joint
+    scale error that Procrustes absorbs but raw MPJPE pays (measured on the
+    round-4 product bench: lstsq MPJPE 176.9 vs 164.2 initial while PA-MPJPE
+    improved — the signature of a global per-joint scale distortion). The fit
+    is therefore projected gradient descent on the normal-equation quadratic
+    with per-joint SIMPLEX projection: rows of the result sum to 1, so
+    normalize_jreg is a numerical no-op and the fit optimizes the deployed
+    function directly. Simplex feasibility also makes the pelvis re-anchoring
+    in `jreg_lstsq_accumulate` exact (Σw = 1 ⇒ translation equivariance).
+
+    Ridge-regularized Cholesky solve (one (V, V) system — MXU work,
+    O(V³)≈3e11 flops at V=6890, ~a second on one chip) gives the
+    unconstrained minimizer used as the PGD starting point. Returns a
+    (17, V) raw regressor (already row-stochastic).
     """
     v = acc.gram.shape[0]
     if not isinstance(acc.count, jax.core.Tracer) and float(acc.count) == 0.0:
@@ -314,8 +343,8 @@ def jreg_lstsq_solve(
 
     def pgd(w, _):
         grad = a @ w - b
-        return jnp.maximum(w - step * grad, 0.0), None
+        return _project_columns_to_simplex(w - step * grad), None
 
-    w0 = jnp.maximum(w, 0.0)
+    w0 = _project_columns_to_simplex(w)
     w, _ = jax.lax.scan(pgd, w0, None, length=nnls_steps)
     return w.T  # (17, V)
