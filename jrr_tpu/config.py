@@ -76,9 +76,18 @@ class SilhouetteConfig:
     # Stride override for the COARSE c2f phase only (None → step_stride).
     # The coarse phase is a basin-widener — its silhouette signal positions
     # the body roughly while the fine phase does band-scale polish — so it
-    # may tolerate sparser striding than the fine phase (round-4 probe;
-    # see BASELINE.md round-4 stride table for the measured verdict).
-    coarse_step_stride: Optional[int] = None
+    # tolerates sparser striding than the fine phase. Default 4 shipped by
+    # the round-4 TPU gate (BASELINE.md round-4 stride table): +19.7%
+    # end-to-end (44.6 → 53.4 frames/s/chip) for +0.37 mm final MPJPE /
+    # +0.43 mm vertex at slightly BETTER IoU on the production (mocap-
+    # anchored) objective — the reference's actual workload (j3d weight 1e4,
+    # scripts/optimize.py:252). CAVEAT, measured and recorded: in the
+    # mocap-less (no-j3d) robustness regime the sparser coarse signal hurts
+    # (MPJPE 21.1 → 24.2 mm) — pipelines without a 3D anchor should set
+    # coarse_step_stride=None. Uniform stride 3 was REJECTED in the same
+    # session (+30% but +1.24 mm MPJPE — past every previously accepted
+    # quality delta).
+    coarse_step_stride: Optional[int] = 4
     # Coarse-to-fine stage B: the FIRST floor(coarse_frac · stage_b_steps)
     # steps rasterize at image_size/coarse_factor — tile_size and bin margin
     # divided by the same factor, so occupied-tile and per-tile candidate

@@ -216,7 +216,7 @@ class TestStageB:
             image_size=32, tile_size=8, faces_per_tile=64,
             sigma=5e-3, blur_radius=0.05,
             coarse_frac=0.4, coarse_factor=2, coarse_min_image=16,
-            rebin_interval=5, step_stride=2,
+            rebin_interval=5, step_stride=2, coarse_step_stride=None,
         )
         cfg = dataclasses.replace(
             RefinerConfig(), stage_a_steps=5, stage_b_steps=20, silhouette=sil
