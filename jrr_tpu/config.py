@@ -88,6 +88,19 @@ class SilhouetteConfig:
     # session (+30% but +1.24 mm MPJPE — past every previously accepted
     # quality delta).
     coarse_step_stride: Optional[int] = 4
+    # Scheduled FINE-phase striding: the first floor(fine_warm_frac ·
+    # fine_steps) steps of the fine (full-resolution) phase stride at
+    # fine_warm_stride; the remaining polish steps stride at step_stride.
+    # Rationale: right after the coarse→fine handoff the mesh is still
+    # basin-scale away from the mask, so the early fine steps tolerate the
+    # same sparse cadence the coarse phase does — only the final band-scale
+    # polish needs density. Active steps scale the term by their CURRENT
+    # stride, so the average silhouette contribution is preserved across the
+    # schedule. None/0.0 = off (uniform step_stride, the round-3 behavior).
+    # When c2f is off, the schedule applies across all of stage B.
+    # Default OFF pending a TPU quality+perf gate (BASELINE.md round 4).
+    fine_warm_frac: float = 0.0
+    fine_warm_stride: Optional[int] = None
     # Coarse-to-fine stage B: the FIRST floor(coarse_frac · stage_b_steps)
     # steps rasterize at image_size/coarse_factor — tile_size and bin margin
     # divided by the same factor, so occupied-tile and per-tile candidate

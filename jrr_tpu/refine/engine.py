@@ -119,6 +119,10 @@ def refine_batch(
                     if sil.coarse_step_stride is None
                     else sil.coarse_step_stride
                 ),
+                # Warm-stride scheduling is a FINE-phase feature; the coarse
+                # phase already strides via coarse_step_stride.
+                fine_warm_frac=0.0,
+                fine_warm_stride=None,
             ),
         )
         cfg_fine = dataclasses.replace(
@@ -176,6 +180,17 @@ def refine_batch(
     # ---- Stage B: full five-term refinement ------------------------------
     opt_b = optax.adam(cfg.stage_b_lr)
     stride = max(1, cfg.silhouette.step_stride)
+    # Scheduled fine-phase striding (SilhouetteConfig.fine_warm_*): the first
+    # `warm_steps` steps of THIS phase stride at fine_warm_stride, the rest at
+    # step_stride. The per-step stride is a traced scalar inside the scan, so
+    # both cadences live in ONE compiled program (no extra phase boundary, no
+    # Adam reset).
+    warm_stride = cfg.silhouette.fine_warm_stride
+    warm_steps = (
+        int(cfg.silhouette.fine_warm_frac * cfg.stage_b_steps)
+        if warm_stride is not None and cfg.silhouette.fine_warm_frac > 0.0
+        else 0
+    )
 
     def step_b(carry, step_idx, bins=None):
         p, opt_state = carry
@@ -183,12 +198,18 @@ def refine_batch(
         # (weight × stride on active steps; lax.cond skips the kernel on the
         # rest). stride=1 → predicate None → unconditional (reference
         # behavior, no cond in the graph).
-        sil_active = None if stride == 1 else (step_idx % stride == 0)
+        if warm_steps > 0:
+            stride_here = jnp.where(step_idx < warm_steps, warm_stride, stride)
+            sil_active = (step_idx % stride_here) == 0
+            sil_scale = stride_here.astype(jnp.float32)
+        else:
+            sil_active = None if stride == 1 else (step_idx % stride == 0)
+            sil_scale = None
 
         def loss_fn(p_):
             return losses.stage_b_loss(
                 model, j_reg_norm, pose_disc_params, shape_disc_params, p_, data,
-                cfg, bins=bins, sil_active=sil_active,
+                cfg, bins=bins, sil_active=sil_active, sil_scale=sil_scale,
             )
 
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)

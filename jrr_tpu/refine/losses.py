@@ -156,6 +156,7 @@ def stage_b_loss(
     cfg: RefinerConfig,
     bins=None,
     sil_active=None,
+    sil_scale=None,
 ):
     """Full objective (reference: scripts/optimize.py:252-253). Returns (scalar, LossTerms).
 
@@ -163,6 +164,9 @@ def stage_b_loss(
     (SilhouetteConfig.step_stride > 1) the engine passes the per-step
     predicate; inactive steps skip the rasterizer via lax.cond and active
     steps scale the term by the stride to keep the average contribution.
+    `sil_scale` (traced f32 scalar or None): the CURRENT stride when the
+    engine runs a scheduled stride (SilhouetteConfig.fine_warm_*); None →
+    the static step_stride.
     """
     out = forward_frame(model, params)
     joints = joints_from_verts(j_reg_norm, out.vertices)
@@ -177,10 +181,14 @@ def stage_b_loss(
         if sil_active is None:
             l_sil = sil_fn(out.vertices, params.cam_t)
         else:
-            stride = float(max(1, cfg.silhouette.step_stride))
+            scale = (
+                float(max(1, cfg.silhouette.step_stride))
+                if sil_scale is None
+                else sil_scale
+            )
             l_sil = jax.lax.cond(
                 sil_active,
-                lambda v, c: sil_fn(v, c) * stride,
+                lambda v, c: sil_fn(v, c) * scale,
                 lambda v, c: jnp.zeros((v.shape[0],), v.dtype),
                 out.vertices, params.cam_t,
             )

@@ -249,6 +249,64 @@ class TestStageB:
         # The sparser coarse stride changes the coarse-phase trajectory.
         assert not np.array_equal(np.asarray(res4.joints3d), np.asarray(res_none.joints3d))
 
+    def test_fine_warm_stride_schedule(self):
+        """fine_warm_* schedules the FINE-phase stride inside one scan: the
+        silhouette term record shows the warm cadence then the polish
+        cadence, active steps carry the current-stride scale, and a
+        warm_stride equal to step_stride matches the unscheduled run."""
+        sil = SilhouetteConfig(
+            image_size=32, tile_size=8, faces_per_tile=64,
+            sigma=5e-3, blur_radius=0.05,
+            coarse_frac=0.0, rebin_interval=5, step_stride=2,
+            coarse_step_stride=None,
+        )
+        cfg = dataclasses.replace(
+            RefinerConfig(), stage_a_steps=5, stage_b_steps=20, silhouette=sil
+        )
+        model, j_reg, gt = _setup(batch=2)
+        data = _gt_data(model, j_reg, gt, cfg, with_mask=True)
+        init = _perturb(gt, 0.05)
+
+        run = lambda c: jax.jit(
+            lambda i, d: engine.refine_batch(model, j_reg, i, d, c)
+        )(init, data)
+
+        # warm_stride == step_stride: same active pattern and scale as the
+        # unscheduled run (traced vs static stride, numerically identical).
+        res_plain = run(cfg)
+        res_same = run(
+            dataclasses.replace(
+                cfg,
+                silhouette=dataclasses.replace(
+                    sil, fine_warm_frac=0.5, fine_warm_stride=2
+                ),
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_same.joints3d), np.asarray(res_plain.joints3d),
+            rtol=1e-5, atol=1e-6,
+        )
+
+        # warm stride 4 over the first half: silhouette term fires on steps
+        # {0,4,8} (warm, ×4) then {10,12,...,18} (polish, ×2), zero elsewhere.
+        res_warm = run(
+            dataclasses.replace(
+                cfg,
+                silhouette=dataclasses.replace(
+                    sil, fine_warm_frac=0.5, fine_warm_stride=4
+                ),
+            )
+        )
+        sil_terms = np.asarray(res_warm.stage_b_terms.silhouette)
+        assert sil_terms.shape == (20,)
+        active = {0, 4, 8} | set(range(10, 20, 2))
+        for t in range(20):
+            if t in active:
+                assert sil_terms[t] != 0.0, f"step {t} should rasterize"
+            else:
+                assert sil_terms[t] == 0.0, f"step {t} should skip"
+        assert np.all(np.isfinite(np.asarray(res_warm.stage_b_terms.total)))
+
     def test_empty_mask_frame_stays_finite(self):
         """A frame whose mask is all background (person-segmentation failure:
         the reference would feed an all-zero pixel_annotation the same way)

@@ -126,6 +126,20 @@ def variants(r):
                 sil, coarse_factor=4, coarse_min_image=56
             )
         ),
+        # Scheduled fine-phase striding (round 4;
+        # SilhouetteConfig.fine_warm_*): early fine steps at the coarse
+        # cadence, final polish at step_stride. Quality gate:
+        # tools/silhouette_quality.py --configs fine_warm*.
+        "fine_warm4_half": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, fine_warm_frac=0.5, fine_warm_stride=4
+            )
+        ),
+        "fine_warm4_60": dataclasses.replace(
+            r, silhouette=dataclasses.replace(
+                sil, fine_warm_frac=0.6, fine_warm_stride=4
+            )
+        ),
         # Lane-packed tile pairs (round 4; SilhouetteConfig.lane_pack).
         "lane_pack": dataclasses.replace(
             r, silhouette=dataclasses.replace(sil, lane_pack=True)

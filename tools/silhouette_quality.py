@@ -172,6 +172,20 @@ def main():
         ("r4_stride3_coarse4", True, 1e-4, 3,
          dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True,
               coarse_step_stride=4)),
+        # Round-4 scheduled fine-phase striding gate: the shipped config
+        # (incl. coarse_step_stride=4) ± fine_warm_* — early fine steps at
+        # the coarse cadence (4), final polish kept at stride 2
+        # (SilhouetteConfig.fine_warm_*; perf in tools/r3_perf.py
+        # fine_warm4_*). r4_shipped_c4 is the same-session baseline.
+        ("r4_shipped_c4", True, 1e-4, 2,
+         dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True,
+              coarse_step_stride=4)),
+        ("r4_warm4_half", True, 1e-4, 2,
+         dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True,
+              coarse_step_stride=4, fine_warm_frac=0.5, fine_warm_stride=4)),
+        ("r4_warm4_60", True, 1e-4, 2,
+         dict(rebin_interval=50, bin_margin_px=8.0, interior_skip=True,
+              coarse_step_stride=4, fine_warm_frac=0.6, fine_warm_stride=4)),
     ]
     sweeps = [s for s in all_sweeps if args.configs is None or s[0] in args.configs]
     all_regimes = [("production", 1e4), ("no_j3d", 0.0)]
