@@ -35,14 +35,27 @@ STAGE_B_STEPS = 100
 
 
 def main() -> None:
+    import argparse
+
     import jax
 
     import __graft_entry__ as ge
     from jrr_tpu.models import discriminator as disc_lib
     from jrr_tpu.refine import engine
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--scene", choices=["drift", "realistic"], default="drift",
+        help="drift = the historical synthetic problem (small-angle poses, "
+             "constant init offset). realistic = fixture-statistics scene "
+             "(fully random joint rotations, gaussian init noise) whose "
+             "rasterizer candidate load is 4-6x higher — the first-class "
+             "second row of BASELINE.md round 5 (VERDICT r4 item 4).",
+    )
+    args = ap.parse_args()
+
     model, j_reg, cfg, init, data = ge._synthetic_problem(
-        batch=BATCH, num_verts=6890, image_size=224
+        batch=BATCH, num_verts=6890, image_size=224, scene=args.scene
     )
     pose_disc = disc_lib.init_pose_discriminator(jax.random.PRNGKey(7))
     shape_disc = disc_lib.init_shape_discriminator(jax.random.PRNGKey(8))
@@ -83,9 +96,12 @@ def main() -> None:
     result = {
         "metric": "pseudo_gt_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 4),
-        "unit": "frames/s/chip (one jitted 1000 stage-A + 100 five-term stage-B program, batch %d, 224^2 silhouette, live discriminators)" % BATCH,
+        "unit": "frames/s/chip (one jitted 1000 stage-A + 100 five-term stage-B program, batch %d, 224^2 silhouette, live discriminators%s)"
+        % (BATCH, "" if args.scene == "drift" else ", scene=" + args.scene),
         "vs_baseline": round(frames_per_sec / REFERENCE_FRAMES_PER_SEC_EST, 4),
     }
+    if args.scene != "drift":
+        result["scene"] = args.scene
     print(json.dumps(result))
 
 

@@ -96,7 +96,11 @@ class SilhouetteConfig:
     # same sparse cadence the coarse phase does — only the final band-scale
     # polish needs density. Active steps scale the term by their CURRENT
     # stride, so the average silhouette contribution is preserved across the
-    # schedule. None/0.0 = off (uniform step_stride, the round-3 behavior).
+    # schedule when warm_steps is a multiple of fine_warm_stride; otherwise
+    # the warm band over-contributes by up to (stride−1)/warm_steps (e.g.
+    # warm_steps=10 at stride 4 fires 3 actives × scale 4 = 12 units over 10
+    # steps, +20% within the warm band). None/0.0 = off (uniform step_stride,
+    # the round-3 behavior).
     # When c2f is off, the schedule applies across all of stage B.
     # Default OFF pending a TPU quality+perf gate (BASELINE.md round 4).
     fine_warm_frac: float = 0.0

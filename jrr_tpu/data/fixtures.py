@@ -73,7 +73,22 @@ def make_synthetic_frames(
     mask = None
     if render_masks:
         spec = sil_lib.RasterizerSpec(image_size=image_size)
-        mask = sil_lib.render_mesh_silhouette(out.vertices, model.faces, gt.cam_t, spec)
+        # Chunked: at thousands of frames a single batched render would
+        # materialize per-tile intermediates for the whole batch at once
+        # (multi-GB on the CPU XLA path used for large fixture builds).
+        chunk = 512
+        mask = jnp.concatenate(
+            [
+                sil_lib.render_mesh_silhouette(
+                    out.vertices[i : i + chunk], model.faces,
+                    gt.cam_t[i : i + chunk], spec,
+                )
+                for i in range(0, num_frames, chunk)
+            ],
+            axis=0,
+        ) if num_frames > chunk else sil_lib.render_mesh_silhouette(
+            out.vertices, model.faces, gt.cam_t, spec
+        )
 
     data = losses.FrameBatch(gt_j2d=gt_j2d, gt_j3d=joints * 1000.0, mask=mask)
     return gt, data

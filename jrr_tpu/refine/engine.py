@@ -186,11 +186,22 @@ def refine_batch(
     # both cadences live in ONE compiled program (no extra phase boundary, no
     # Adam reset).
     warm_stride = cfg.silhouette.fine_warm_stride
-    warm_steps = (
-        int(cfg.silhouette.fine_warm_frac * cfg.stage_b_steps)
-        if warm_stride is not None and cfg.silhouette.fine_warm_frac > 0.0
-        else 0
-    )
+    if warm_stride is not None and cfg.silhouette.fine_warm_frac > 0.0:
+        # Eager validation: a 0/negative stride would reach the traced
+        # `step_idx % stride_here` below, and XLA integer mod-by-zero is
+        # implementation-defined — it corrupts the schedule without raising.
+        if warm_stride < 1:
+            raise ValueError(
+                f"fine_warm_stride={warm_stride} must be >= 1 when "
+                f"fine_warm_frac={cfg.silhouette.fine_warm_frac} > 0"
+            )
+        if not 0.0 <= cfg.silhouette.fine_warm_frac <= 1.0:
+            raise ValueError(
+                f"fine_warm_frac={cfg.silhouette.fine_warm_frac} must lie in [0, 1]"
+            )
+        warm_steps = int(cfg.silhouette.fine_warm_frac * cfg.stage_b_steps)
+    else:
+        warm_steps = 0
 
     def step_b(carry, step_idx, bins=None):
         p, opt_state = carry

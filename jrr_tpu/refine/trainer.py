@@ -198,10 +198,23 @@ def outer_step(
         shape_disc_opt=shape_disc_opt,
         step=state.step + 1,
     )
+    # Final-value metrics are averaged over the last fine-stride window: under
+    # silhouette step-striding the parameter trajectory carries a sawtooth at
+    # the stride cadence (the ×stride silhouette gradient lands on active
+    # steps only), so a bare [-1] would sample a stride-boundary value that
+    # depends on the parity of stage_b_steps. The window mean is
+    # cadence-invariant and reduces to [-1] at stride 1 (the reference's
+    # per-step prints, scripts/optimize.py:255-261).
+    if cfg.refiner.stage_b_steps > 0:
+        tail = max(1, cfg.refiner.silhouette.step_stride) if cfg.refiner.use_silhouette else 1
+        tail = min(tail, cfg.refiner.stage_b_steps)
+        _final = lambda x: jnp.mean(x[-tail:])
+    else:
+        _final = lambda x: jnp.zeros(())
     m = OuterMetrics(
-        joint_loss=result.stage_b_terms.j3d[-1] if cfg.refiner.stage_b_steps > 0 else jnp.zeros(()),
-        pose_disc_gen_loss=result.stage_b_terms.pose_disc[-1] if cfg.refiner.stage_b_steps > 0 else jnp.zeros(()),
-        shape_disc_gen_loss=result.stage_b_terms.shape_disc[-1] if cfg.refiner.stage_b_steps > 0 else jnp.zeros(()),
+        joint_loss=_final(result.stage_b_terms.j3d),
+        pose_disc_gen_loss=_final(result.stage_b_terms.pose_disc),
+        shape_disc_gen_loss=_final(result.stage_b_terms.shape_disc),
         pose_discriminator_loss=pd_loss,
         shape_discriminator_loss=sd_loss,
         j_regressor_error=jr_loss,

@@ -89,6 +89,53 @@ class TestOuterStep:
         # Refinement improved on the SPIN init.
         assert float(m.mpjpe_before_jreg_step) < float(m.mpjpe_init)
 
+    def test_final_metrics_average_over_stride_window(self):
+        # Under silhouette step-striding the trajectory carries a sawtooth at
+        # the stride cadence, so the "final" stage-B metrics average the last
+        # `step_stride` steps instead of sampling a stride-boundary [-1]
+        # (VERDICT r4 item 7). At stride 1 this reduces to [-1] exactly.
+        model, j_reg, gt, init, data, cfg = _setup()
+        state = trainer.init_train_state(jax.random.PRNGKey(0), j_reg, cfg)
+
+        # use_silhouette=False → tail window 1 → metric is exactly [-1].
+        _, m, result = trainer.outer_step(state, model, init, data, cfg)
+        np.testing.assert_allclose(
+            float(m.joint_loss), float(result.stage_b_terms.j3d[-1]), rtol=1e-6
+        )
+
+        # use_silhouette=True (stride 2 default) → metric is the mean of the
+        # last 2 steps. mask=None keeps the silhouette term itself inert, so
+        # this isolates the metric-sampling logic.
+        cfg_s = dataclasses.replace(
+            cfg, refiner=dataclasses.replace(cfg.refiner, use_silhouette=True)
+        )
+        assert cfg_s.refiner.silhouette.step_stride == 2
+        _, m2, result2 = trainer.outer_step(state, model, init, data, cfg_s)
+        np.testing.assert_allclose(
+            float(m2.joint_loss),
+            float(jnp.mean(result2.stage_b_terms.j3d[-2:])),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(m2.pose_disc_gen_loss),
+            float(jnp.mean(result2.stage_b_terms.pose_disc[-2:])),
+            rtol=1e-6,
+        )
+
+    def test_fine_warm_stride_validation(self):
+        import pytest
+
+        model, j_reg, gt, init, data, cfg = _setup()
+        bad = dataclasses.replace(
+            cfg.refiner,
+            use_silhouette=True,
+            silhouette=dataclasses.replace(
+                cfg.refiner.silhouette, fine_warm_frac=0.5, fine_warm_stride=0
+            ),
+        )
+        with pytest.raises(ValueError, match="fine_warm_stride"):
+            engine.refine_batch(model, j_reg, init, data, bad)
+
     def test_jreg_step_reduces_supervision_loss(self):
         model, j_reg, gt, init, data, cfg = _setup()
         j_reg_perturbed = j_reg + 0.05 * jnp.abs(

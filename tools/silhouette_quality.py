@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--stage-a", type=int, default=200)
     ap.add_argument("--stage-b", type=int, default=100)
     ap.add_argument("--betas-perturb", type=float, default=0.6)
+    ap.add_argument(
+        "--thin-appendage-radius", type=float, default=0.0,
+        help="meters; >0 builds the THIN-STRUCTURE gate body (finger-scale "
+             "tubes on hands/feet, ~2 px wide at 0.01 — VERDICT r4 item 5) "
+             "and adds a vert_mm_thin column restricted to those vertices",
+    )
     ap.add_argument("--platform", default=None)
     ap.add_argument("--configs", nargs="+", default=None,
                     help="subset of sweep configs to run (default: all)")
@@ -68,9 +74,19 @@ def main():
     from jrr_tpu.refine import engine, losses
     from jrr_tpu.render import silhouette_fused as sf
 
+    from jrr_tpu.models import smpl as smpl_mod
+
+    appendage_verts = None
+    model_override = None
+    if args.thin_appendage_radius > 0.0:
+        model_override, aux = smpl_mod.synthetic_smpl_model(
+            seed=0, num_verts=args.num_verts,
+            thin_appendage_radius=args.thin_appendage_radius, return_aux=True,
+        )
+        appendage_verts = jnp.asarray(aux["appendage_verts"])
     model, j_reg, cfg0, init, data, gt_params, gt_verts = ge._synthetic_problem(
         batch=args.batch, num_verts=args.num_verts, image_size=args.image,
-        return_gt=True,
+        return_gt=True, model=model_override,
         # Deliberate SHAPE mismatch: betas off by a lot — 17 joints cannot
         # pin down limb girth; the silhouette can.
         perturb=(0.03, 0.02, args.betas_perturb, 0.05),
@@ -118,6 +134,17 @@ def main():
     def score(mdl, verts, cam_t, gt_v, gt_j, mask):
         return _score(j_norm, mdl, verts, cam_t, gt_v, gt_j, mask)
 
+    @jax.jit
+    def _thin_err(verts, gt_v, idx):
+        return jnp.mean(
+            jnp.linalg.norm(verts[:, idx] - gt_v[:, idx], axis=-1)
+        ) * 1000.0
+
+    def thin_err(verts):
+        if appendage_verts is None:
+            return None
+        return round(float(_thin_err(verts, gt_verts, appendage_verts)), 3)
+
     def config(use_sil, blur, j3d_w, stride=1, **sil_extra):
         r = cfg0.refiner
         return dataclasses.replace(
@@ -131,6 +158,13 @@ def main():
         )
 
     all_sweeps = [
+        # Reference-exact semantics: blur 0, every-step silhouette,
+        # single-resolution, near-per-step binning, no interior skip — the
+        # r3_perf "ref_exact_full" configuration (scripts/mesh_renderer.py:34-38
+        # raster settings), the comparison anchor for the thin-structure gate.
+        ("ref_exact_full", True, 0.0, 1,
+         dict(rebin_interval=20, bin_margin_px=6.0, coarse_frac=0.0,
+              interior_skip=False, coarse_step_stride=None)),
         ("no_sil", False, 0.0, 1, {}), ("blur_0", True, 0.0, 1, {}),
         ("blur_1e-5", True, 1e-5, 1, {}), ("blur_1e-4", True, 1e-4, 1, {}),
         ("blur_1e-3", True, 1e-3, 1, {}),
@@ -194,10 +228,13 @@ def main():
     # Init-state scores for context.
     out0 = losses.forward_frame(model, init)
     m0 = score(model, out0.vertices, init.cam_t, gt_verts, gt_joints, data.mask)
-    print(json.dumps({
+    rec0 = {
         "config": "init", "mpjpe_mm": float(m0[0]), "vert_mm": float(m0[1]),
         "sil_mse": float(m0[2]), "iou": float(m0[3]),
-    }), flush=True)
+    }
+    if appendage_verts is not None:
+        rec0["vert_mm_thin"] = thin_err(out0.vertices)
+    print(json.dumps(rec0), flush=True)
 
     results = {}
     for regime, j3d_w in regimes:
@@ -218,6 +255,8 @@ def main():
                 "sil_mse": round(float(sm), 6), "iou": round(float(iou), 4),
                 "seconds": round(dt, 1),
             }
+            if appendage_verts is not None:
+                rec["vert_mm_thin"] = thin_err(res.vertices)
             results[(regime, name)] = rec
             print(json.dumps(rec), flush=True)
 
