@@ -21,6 +21,10 @@ import numpy as np
 
 from jrr_tpu.models import convert_util
 
+# (backbone params, backbone batch_stats) of a random full-model init —
+# filled on first demo-path (no SPIN checkpoint) consumer build, reused after.
+_RANDOM_BACKBONE = None
+
 
 def load_gen_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Torch checkpoint file → numpy state dict (VIBE/MEVA layouts: the
@@ -140,12 +144,21 @@ def build_consumer(
             "(the reference splices SPIN's pretrained hmr backbone, "
             "scripts/test.py:146-195)."
         )
-        rnd = model.init(
-            jax.random.PRNGKey(0), np.zeros((1, 2, 3, 224, 224), np.float32)
-        )
-        variables["params"]["backbone"] = rnd["params"]["backbone"]
+        global _RANDOM_BACKBONE
+        if _RANDOM_BACKBONE is None:
+            # The ResNet-50 backbone submodule is identical across consumer
+            # kinds/configs, and this init exists only to fill the demo
+            # (no-SPIN) path with SOME weights — cache it so building both
+            # VIBE and MEVA consumers pays the full-model init once.
+            rnd = model.init(
+                jax.random.PRNGKey(0), np.zeros((1, 2, 3, 224, 224), np.float32)
+            )
+            _RANDOM_BACKBONE = (
+                rnd["params"]["backbone"], rnd["batch_stats"]["backbone"]
+            )
+        variables["params"]["backbone"] = _RANDOM_BACKBONE[0]
         variables.setdefault("batch_stats", {})
-        variables["batch_stats"]["backbone"] = rnd["batch_stats"]["backbone"]
+        variables["batch_stats"]["backbone"] = _RANDOM_BACKBONE[1]
 
     consumer = temporal_lib.make_temporal_consumer(
         smpl_model, model, variables, seqlen=seqlen

@@ -140,6 +140,20 @@ def variants(r):
                 sil, fine_warm_frac=0.6, fine_warm_stride=4
             )
         ),
+        # Round-5 cost-decomposition probes (VERDICT r4 item 3): each variant
+        # moves ONE phase's invocation count so the per-invocation cost falls
+        # out of end-to-end deltas against baseline —
+        #   no_sil:        silhouette term off → the non-silhouette floor;
+        #   interval25:    (above) 2x the rebins → per-rebin (binning) cost;
+        #   fine_stride1:  2x the fine kernel launches → per-fine-launch cost;
+        #   coarse_stride2: 2x the coarse kernel launches → per-coarse-launch.
+        "no_sil": dataclasses.replace(r, use_silhouette=False),
+        "fine_stride1": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, step_stride=1)
+        ),
+        "coarse_stride2": dataclasses.replace(
+            r, silhouette=dataclasses.replace(sil, coarse_step_stride=None)
+        ),
         # Lane-packed tile pairs (round 4; SilhouetteConfig.lane_pack).
         "lane_pack": dataclasses.replace(
             r, silhouette=dataclasses.replace(sil, lane_pack=True)
