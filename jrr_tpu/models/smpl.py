@@ -433,6 +433,7 @@ def synthetic_smpl_model(
                 + ring * thin_appendage_radius
             ).astype(np.float32)
             chosen.append(take)
+        appendage_groups = chosen
         appendage_verts = np.concatenate(chosen) if chosen else appendage_verts
 
     # LBS weights: dominant joint + small spillover to its parent, rows sum 1.
@@ -497,7 +498,12 @@ def synthetic_smpl_model(
         vertex_perm=jnp.asarray(vertex_locality_perm(v_template)),
     )
     if return_aux:
-        return model, {"appendage_verts": appendage_verts}
+        return model, {
+            "appendage_verts": appendage_verts,
+            "appendage_groups": (
+                appendage_groups if thin_appendage_radius > 0.0 else []
+            ),
+        }
     return model
 
 

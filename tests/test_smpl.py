@@ -153,3 +153,35 @@ class TestStructure:
         out = smpl_mod.smpl_forward(model, jnp.zeros((B, 10)), rotmats[:, :1], rotmats[:, 1:])
         j49 = smpl_mod.smpl_joints49(model, out)
         assert j49.shape == (B, 49, 3)
+
+    def test_thin_appendages(self):
+        """Thin-structure gate body (VERDICT r4 item 5): appendage vertices
+        sit on finger-scale tubes (radius ~= the requested 0.01 m) protruding
+        from the hand/foot tips, faces connect them (they rasterize), and the
+        default model's geometry is untouched by the feature flag."""
+        radius = 0.01
+        model, aux = smpl_mod.synthetic_smpl_model(
+            seed=0, thin_appendage_radius=radius, return_aux=True
+        )
+        av = aux["appendage_verts"]
+        assert len(av) > 100
+        base = smpl_mod.synthetic_smpl_model(seed=0)
+        keep = ~np.isin(np.arange(model.num_verts), av)
+        np.testing.assert_array_equal(
+            np.asarray(model.v_template)[keep], np.asarray(base.v_template)[keep]
+        )
+        # Faces reach the appendages, so they show up in a silhouette.
+        f = np.asarray(model.faces)
+        assert np.isin(f, av).any(axis=1).sum() > 100
+        # Tube geometry per tip: spread perpendicular to the principal axis
+        # is the requested radius (thin), extent along it is the 0.18 m
+        # appendage length.
+        v = np.asarray(model.v_template)
+        assert len(aux["appendage_groups"]) == 4
+        for g in aux["appendage_groups"]:
+            pts = v[g] - v[g].mean(axis=0)
+            _, _, vt = np.linalg.svd(pts, full_matrices=False)
+            perp = pts - np.outer(pts @ vt[0], vt[0])
+            r = np.linalg.norm(perp, axis=1)
+            assert np.percentile(r, 90) < 2.0 * radius, np.percentile(r, 90)
+            assert np.ptp(pts @ vt[0]) > 0.15  # appendage length
