@@ -203,6 +203,12 @@ class JRegConfig:
     # Ridge regularizer for the least-squares fit path (TPU-idiomatic
     # alternative to per-batch SGD; no reference equivalent).
     lstsq_ridge: float = 1e-4
+    # Every N shards, snapshot the Adam-path regressor (state.j_reg_raw) to
+    # out_dir/jreg_snapshots/snap_<shard>.npz via the async writer queue —
+    # the convergence-vs-batches observability the reference's (silently
+    # no-op) J-reg training never had. The ~470 KB device pull rides the
+    # writer thread, so the cadence does not stall dispatch. None = off.
+    snapshot_interval: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

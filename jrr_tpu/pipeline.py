@@ -266,6 +266,13 @@ def run_optimize(
                     manifest.write_shard(
                         sid, {k: np.asarray(v) for k, v in payload.items()}
                     )
+                elif kind == "jreg_snap":
+                    snap_dir = os.path.join(out_dir, "jreg_snapshots")
+                    os.makedirs(snap_dir, exist_ok=True)
+                    np.savez(
+                        os.path.join(snap_dir, f"snap_{sid:05d}.npz"),
+                        j_regressor=jax.device_get(payload), shard=sid,
+                    )
                 else:  # "acc_ckpt"
                     host = jax.device_get(payload)
                     np.savez(
@@ -384,6 +391,11 @@ def run_optimize(
         if phase_timing:
             phases["write_enqueue"] = time.time() - t1
         t1 = time.time()
+        snap_every = cfg.jreg.snapshot_interval
+        if snap_every and shard_id % snap_every == snap_every - 1:
+            # Adam-path regressor convergence curve (JRegConfig.snapshot_interval):
+            # the device pull + npz write happen on the writer thread.
+            _wq_put(("jreg_snap", shard_id, state.j_reg_raw))
         _maybe_ckpt_acc(shard_id, acc)
         if logger is not None:
             if phase_timing:

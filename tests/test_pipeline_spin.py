@@ -157,3 +157,46 @@ def test_run_optimize_resume_uses_acc_checkpoint(tmp_path, monkeypatch):
     assert float(acc2.count) == float(acc1.count) == 6.0
     np.testing.assert_allclose(np.asarray(acc2.gram), np.asarray(acc1.gram), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(acc2.rhs), np.asarray(acc1.rhs), rtol=1e-5, atol=1e-6)
+
+
+def test_jreg_snapshot_interval(tmp_path):
+    """JRegConfig.snapshot_interval writes an Adam-path regressor snapshot
+    every N shards via the async writer (round 5 — the convergence-vs-batches
+    observability consumed by tools/recovery_bench.py phase_analyze)."""
+    from jrr_tpu.config import JRegConfig
+
+    root = fixtures.write_fixture_dataset(str(tmp_path / "ds"), num_frames=4, seed=7)
+    ds = h36m.H36MDataset(root, "validation")
+    model = smpl_mod.synthetic_smpl_model(seed=7, num_verts=256, num_faces=500)
+    rng = np.random.default_rng(7)
+    j_reg = np.zeros((17, 256), np.float32)
+    for j in range(17):
+        j_reg[j, rng.choice(256, 6, replace=False)] = rng.uniform(0.5, 1.0, 6)
+
+    cfg = PipelineConfig(
+        refiner=dataclasses.replace(
+            RefinerConfig(), stage_a_steps=3, stage_b_steps=3,
+            use_silhouette=False, use_discriminators=False,
+        ),
+        data=DataConfig(batch_size=2),
+        jreg=JRegConfig(snapshot_interval=1),
+    )
+    out = str(tmp_path / "run")
+    batches = list(iter(h36m.BatchLoader(ds, 2, shuffle=False)))
+    state, _, _ = run_optimize(
+        cfg, model, j_reg, iter(batches), out, use_mesh=False
+    )
+
+    snap_dir = os.path.join(out, "jreg_snapshots")
+    names = sorted(os.listdir(snap_dir))
+    assert names == ["snap_00000.npz", "snap_00001.npz"]
+    with np.load(os.path.join(snap_dir, names[-1])) as f:
+        assert int(f["shard"]) == 1
+        # Last snapshot is the final Adam-path regressor.
+        np.testing.assert_allclose(
+            f["j_regressor"], np.asarray(state.j_reg_raw), atol=1e-6
+        )
+    with np.load(os.path.join(snap_dir, names[0])) as f:
+        snap0 = f["j_regressor"]
+    # The regressor moved between shards (the snapshots are distinct states).
+    assert not np.allclose(snap0, np.asarray(state.j_reg_raw), atol=0.0)
