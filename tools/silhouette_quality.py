@@ -49,6 +49,13 @@ def main():
     ap.add_argument("--stage-b", type=int, default=100)
     ap.add_argument("--betas-perturb", type=float, default=0.6)
     ap.add_argument(
+        "--seed", type=int, default=0,
+        help="problem-instance seed (body geometry + poses + init noise); "
+             "vary to quantify gate variance across scene instances — the "
+             "round-5 thin-vs-standard-body discrepancy showed config deltas "
+             "are scene-dependent (BASELINE.md round 5)",
+    )
+    ap.add_argument(
         "--thin-appendage-radius", type=float, default=0.0,
         help="meters; >0 builds the THIN-STRUCTURE gate body (finger-scale "
              "tubes on hands/feet, ~2 px wide at 0.01 — VERDICT r4 item 5) "
@@ -80,13 +87,13 @@ def main():
     model_override = None
     if args.thin_appendage_radius > 0.0:
         model_override, aux = smpl_mod.synthetic_smpl_model(
-            seed=0, num_verts=args.num_verts,
+            seed=args.seed, num_verts=args.num_verts,
             thin_appendage_radius=args.thin_appendage_radius, return_aux=True,
         )
         appendage_verts = jnp.asarray(aux["appendage_verts"])
     model, j_reg, cfg0, init, data, gt_params, gt_verts = ge._synthetic_problem(
         batch=args.batch, num_verts=args.num_verts, image_size=args.image,
-        return_gt=True, model=model_override,
+        return_gt=True, model=model_override, seed=args.seed,
         # Deliberate SHAPE mismatch: betas off by a lot — 17 joints cannot
         # pin down limb girth; the silhouette can.
         perturb=(0.03, 0.02, args.betas_perturb, 0.05),
