@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning-rate", type=float, default=1e-2, help="refinement lr (both stages)")
     p.add_argument("--disc-learning-rate", type=float, default=1e-3)
     p.add_argument("--j-reg-lr", type=float, default=1e-2)
+    p.add_argument(
+        "--jreg-snapshot-interval", type=int, default=None,
+        help="snapshot the Adam-path J-regressor to "
+        "<out>/jreg_snapshots/ every N batches (convergence-vs-batches "
+        "observability; consumed by tools/recovery_bench.py --phase analyze)",
+    )
     p.add_argument("--no-silhouette", action="store_true")
     p.add_argument("--no-discriminators", action="store_true")
     p.add_argument("--silhouette-size", type=int, default=224)
@@ -108,7 +114,9 @@ def config_from_args(args: argparse.Namespace) -> PipelineConfig:
     return PipelineConfig(
         refiner=refiner,
         discriminator=DiscriminatorConfig(lr=args.disc_learning_rate),
-        jreg=JRegConfig(lr=args.j_reg_lr),
+        jreg=JRegConfig(
+            lr=args.j_reg_lr, snapshot_interval=args.jreg_snapshot_interval
+        ),
         data=DataConfig(
             batch_size=args.batch_size, shuffle_seed=args.seed,
             train_epochs=args.train_epochs, split=args.split,

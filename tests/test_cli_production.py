@@ -28,6 +28,7 @@ def test_demo_exercises_silhouette(tmp_path):
         "--demo", "--out", out,
         "--stage-a-steps", "30", "--stage-b-steps", "5",
         "--batch-size", "4",
+        "--jreg-snapshot-interval", "1",
     ])
 
     recs = _read_metrics(os.path.join(out, "metrics.jsonl"))
@@ -37,6 +38,8 @@ def test_demo_exercises_silhouette(tmp_path):
     with np.load(os.path.join(out, "retrained_j_regressor.npz")) as f:
         assert np.isfinite(f["j_regressor"]).all()
         assert np.isfinite(f["j_regressor_lstsq"]).all()
+    # --jreg-snapshot-interval reaches JRegConfig.snapshot_interval.
+    assert sorted(os.listdir(os.path.join(out, "jreg_snapshots")))[-1] == "snap_00001.npz"
 
 
 @pytest.mark.slow
